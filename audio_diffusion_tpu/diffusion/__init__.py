@@ -1,0 +1,26 @@
+from .core import alpha_beta, clip, extend_dim, pad_dims
+from .distributions import Distribution, UniformDistribution
+from .inpainter import Inpainter, VInpainter
+from .samplers import ARVSampler, Sampler, VSampler
+from .schedules import LinearSchedule, Schedule
+from .vdiffusion import ARVDiffusion, Diffusion, VDiffusion, mse_loss
+
+__all__ = [
+    "alpha_beta",
+    "clip",
+    "extend_dim",
+    "pad_dims",
+    "Distribution",
+    "UniformDistribution",
+    "Schedule",
+    "LinearSchedule",
+    "Diffusion",
+    "VDiffusion",
+    "ARVDiffusion",
+    "mse_loss",
+    "Sampler",
+    "VSampler",
+    "ARVSampler",
+    "Inpainter",
+    "VInpainter",
+]

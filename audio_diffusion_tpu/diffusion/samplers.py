@@ -1,0 +1,199 @@
+"""Samplers: the inference hot loops, compiled as single `lax.scan`s.
+
+Reference behavior: diffusion.py:158-190 (VSampler — angular DDIM) and
+diffusion.py:193-296 (ARVSampler — chunked sigma-ladder autoregression).
+TPU-first design: the per-step Python loop of the reference (one kernel-launch
+batch + a host sync per step for tqdm) becomes ONE compiled scan; network
+weights stay HBM-resident across all steps, and the only host interaction is
+an optional `jax.debug.print` progress line.
+
+The reference's ARVSampler grows a Python list of chunks
+(diffusion.py:279-294); here that is a fixed-shape rolling window carried
+through the scan, emitting the chunk that exits the window at each shift
+(SURVEY.md §7 "hard parts" #6).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array, lax
+
+from ..ops.net import Net
+from .core import alpha_beta, extend_dim
+from .schedules import LinearSchedule, Schedule
+from .vdiffusion import VDiffusion
+
+__all__ = ["Sampler", "VSampler", "ARVSampler"]
+
+
+class Sampler:
+    """Interface for samplers (reference diffusion.py:154-155)."""
+
+    net: Net
+
+    def sample(self, params: Dict, *args, **kwargs) -> Array:
+        raise NotImplementedError()
+
+    def __call__(self, params: Dict, *args, **kwargs) -> Array:
+        return self.sample(params, *args, **kwargs)
+
+
+class VSampler(Sampler):
+    """Deterministic angular-DDIM v-sampler as one `lax.scan`.
+
+    Per step (reference diffusion.py:183-188)::
+
+        v      = net(x, σ_i)
+        x_pred = α_i·x − β_i·v        (denoised estimate)
+        n_pred = β_i·x + α_i·v        (noise estimate)
+        x      = α_{i+1}·x_pred + β_{i+1}·n_pred
+
+    Fully deterministic given the initial noise; no RNG key needed.
+    """
+
+    diffusion_types = [VDiffusion]
+
+    def __init__(self, net: Net, schedule: Optional[Schedule] = None):
+        self.net = net
+        self.schedule = schedule or LinearSchedule()
+
+    def sample(self, params: Dict, x_noisy: Array, num_steps: int,
+               show_progress: bool = False, **kwargs) -> Array:
+        b = x_noisy.shape[0]
+        sigmas = self.schedule(num_steps + 1).astype(x_noisy.dtype)  # [s+1]
+        alphas, betas = alpha_beta(sigmas)
+
+        def step(x, scan_in):
+            sig, a0, b0, a1, b1 = scan_in
+            v_pred = self.net.apply(params, x, jnp.full((b,), sig), **kwargs)
+            x_pred = a0 * x - b0 * v_pred
+            noise_pred = b0 * x + a0 * v_pred
+            x_next = a1 * x_pred + b1 * noise_pred
+            if show_progress:
+                jax.debug.print("Sampling (noise={s:.2f})", s=sig)
+            return x_next, None
+
+        xs = (sigmas[:-1], alphas[:-1], betas[:-1], alphas[1:], betas[1:])
+        x, _ = lax.scan(step, x_noisy, xs)
+        return x
+
+
+class ARVSampler(Sampler):
+    """Autoregressive chunked sampler with a σ-ladder over the window tail.
+
+    Reference: diffusion.py:193-296. σ is concatenated as an input channel at
+    every step (reference diffusion.py:231); the net takes no σ embedding.
+    """
+
+    def __init__(self, net: Net, in_channels: int, length: int, num_splits: int):
+        assert length % num_splits == 0, "length must be divisible by num_splits"
+        self.net = net
+        self.in_channels = in_channels
+        self.length = length
+        self.num_splits = num_splits
+        self.split_length = length // num_splits
+
+    def get_sigmas_ladder(self, num_items: int, num_steps_per_split: int) -> Array:
+        """Staircase σ pattern over the LAST half of the splits; the first
+        half is zeros (clean context). Reference: diffusion.py:213-221.
+
+        Returns [i+1, b, 1, length] where i = num_steps_per_split · n_half.
+        """
+        b, n, l = num_items, self.num_splits, self.split_length
+        i = num_steps_per_split
+        n_half = n // 2
+        sigmas = jnp.linspace(1.0, 0.0, i * n_half, dtype=jnp.float32)
+        # Flat [(n_half · i)] read as n_half groups of i:
+        #   out[step, b, 1, split·l + t] = sigmas[split·i + step]
+        sigmas = sigmas.reshape(n_half, i)          # [n_half, i]
+        sigmas = sigmas.T                            # [i, n_half]
+        sigmas = jnp.repeat(sigmas, l, axis=-1)      # [i, n_half·l]
+        sigmas = jnp.broadcast_to(sigmas[:, None, None, :], (i, b, 1, n_half * l))
+        sigmas = jnp.flip(sigmas, axis=-1)           # lowest noise first
+        # Row i+1 loops the ladder back, shifted by one split.
+        extra = jnp.zeros_like(sigmas[:1])
+        sigmas = jnp.concatenate([sigmas, extra], axis=0)  # [i+1, ...]
+        looped = jnp.concatenate(
+            [jnp.zeros_like(sigmas[0, :, :, :l]), sigmas[0, :, :, :-l]], axis=-1)
+        sigmas = sigmas.at[-1].set(looped)
+        # Context half (first n_half splits) stays at σ=0.
+        return jnp.concatenate([jnp.zeros_like(sigmas), sigmas], axis=-1)
+
+    def sample_loop(self, params: Dict, current: Array, sigmas: Array,
+                    show_progress: bool = False, **kwargs) -> Array:
+        """Denoise `current` along a per-sample σ trajectory [steps+1,b,1,t].
+
+        Reference: diffusion.py:223-238 (σ as an input channel per step).
+        """
+        alphas, betas = alpha_beta(sigmas)
+
+        def step(x, scan_in):
+            sig, a0, b0, a1, b1 = scan_in
+            channels = jnp.concatenate([x, sig.astype(x.dtype)], axis=1)
+            v_pred = self.net.apply(params, channels, None, **kwargs)
+            x_pred = a0 * x - b0 * v_pred
+            noise_pred = b0 * x + a0 * v_pred
+            return a1 * x_pred + b1 * noise_pred, None
+
+        xs = (sigmas[:-1], alphas[:-1], betas[:-1], alphas[1:], betas[1:])
+        x, _ = lax.scan(step, current, xs)
+        return x
+
+    def sample_start(self, params: Dict, key: Array, num_items: int,
+                     num_steps: int, **kwargs) -> Array:
+        """Denoise the full initial window with a shared linspace schedule.
+
+        Reference: diffusion.py:240-247.
+        """
+        b, c, t = num_items, self.in_channels, self.length
+        sigmas = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
+        sigmas = jnp.broadcast_to(sigmas[:, None, None, None], (num_steps + 1, b, 1, t))
+        noise = jax.random.normal(key, (b, c, t), dtype=jnp.float32) * sigmas[0]
+        return self.sample_loop(params, noise, sigmas, **kwargs)
+
+    def sample(self, params: Dict, key: Array, num_items: int, num_chunks: int,
+               num_steps: int, start: Optional[Array] = None,
+               show_progress: bool = False, **kwargs) -> Array:
+        """Generate `num_chunks` splits autoregressively.
+
+        NOTE: like the reference (diffusion.py:263 unconditionally overwrites
+        the `start` argument), a passed `start` is ignored; the parameter is
+        kept for API parity.
+        """
+        n, l, b = self.num_splits, self.split_length, num_items
+        assert num_chunks >= n, f"required at least {n} chunks"
+        key_start, key_ladder, key_fresh = jax.random.split(key, 3)
+
+        start_window = self.sample_start(
+            params, key_start, num_items=b, num_steps=num_steps, **kwargs)
+        if num_chunks == n:
+            return start_window
+
+        assert num_steps >= n, "num_steps must be greater than num_splits"
+        sigmas = self.get_sigmas_ladder(
+            num_items=b, num_steps_per_split=num_steps // n)
+        alphas, betas = alpha_beta(sigmas)
+
+        # Noise the start window up to the ladder's entry noise level.
+        start_noise = alphas[0] * start_window + betas[0] * jax.random.normal(
+            key_ladder, start_window.shape, start_window.dtype)
+
+        # Rolling window: each shift denoises the window along the ladder,
+        # emits the split that exits (its final value), then slides one split
+        # in a fresh noise chunk. Emitted splits == reference chunks[:num_chunks].
+        def shift(window, scan_in):
+            j = scan_in
+            updated = self.sample_loop(params, window, sigmas, **kwargs)
+            out_chunk = updated[..., :l]
+            fresh = jax.random.normal(
+                jax.random.fold_in(key_fresh, j),
+                (b, self.in_channels, l), updated.dtype)
+            window = jnp.concatenate([updated[..., l:], fresh], axis=-1)
+            return window, out_chunk
+
+        _, chunks = lax.scan(shift, start_noise, jnp.arange(num_chunks))
+        # chunks: [num_chunks, b, c, l] -> [b, c, num_chunks·l]
+        chunks = jnp.moveaxis(chunks, 0, 2)
+        return chunks.reshape(b, self.in_channels, num_chunks * l)

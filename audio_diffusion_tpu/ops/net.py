@@ -1,0 +1,64 @@
+"""The Net bundle: the single contract between diffusion engine and network.
+
+In the reference, diffusion methods and samplers hold ``self.net`` and call
+``self.net(x_noisy, sigmas, **kwargs)`` (reference diffusion.py:94, 184) — the
+only contract the network must satisfy (SURVEY.md §1 L3→L1). Here, with a
+functional core, that contract becomes::
+
+    net.apply(params, x, sigmas=None, *, key=None, **cond) -> Array
+
+where ``params`` is a pytree, ``key`` an optional PRNG key (consumed by
+stochastic conditioning such as CFG embedding dropout), and ``cond`` carries
+the conditioning kwargs (``embedding``, ``channels``, ``append_channels``,
+``features``, ``embedding_mask_proba``, ``embedding_scale``, ...).
+
+``Net`` wraps a flax.linen module and adapts this signature onto
+``module.apply``. Network factories (``UNetV0`` and plugin wrappers) return
+``Net`` instances so the whole diffusion stack stays framework-agnostic.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+from jax import Array
+
+__all__ = ["Net"]
+
+
+class Net:
+    """A linen module + standardized (x, sigmas, **cond) call adapter."""
+
+    def __init__(
+        self,
+        module: Any,
+        in_channels: int,
+        out_channels: int,
+        uses_sigma: bool = True,
+    ):
+        self.module = module
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        # False for AR nets: σ rides as an input channel instead of an
+        # embedding (reference models.py:247-248, diffusion.py:127-129).
+        self.uses_sigma = uses_sigma
+
+    # -- functional API ----------------------------------------------------
+    def init(self, key: Array, x: Array, sigmas: Optional[Array] = None,
+             **cond) -> Dict:
+        """Initialize parameters from example inputs; returns the params pytree."""
+        key_params, key_call = jax.random.split(key)
+        variables = self.module.init(
+            {"params": key_params, "cfg": key_call},
+            x, sigmas, **cond,
+        )
+        return variables["params"]
+
+    def apply(self, params: Dict, x: Array, sigmas: Optional[Array] = None,
+              *, key: Optional[Array] = None, **cond) -> Array:
+        rngs = {"cfg": key} if key is not None else None
+        return self.module.apply({"params": params}, x, sigmas, rngs=rngs, **cond)
+
+    def __call__(self, params: Dict, x: Array, sigmas: Optional[Array] = None,
+                 **kwargs) -> Array:
+        return self.apply(params, x, sigmas, **kwargs)
