@@ -1,0 +1,66 @@
+"""audio_diffusion_tpu — a TPU-native (JAX/XLA/Pallas) audio diffusion
+framework with the capabilities and public API surface of
+archinetai/audio-diffusion-pytorch (reference __init__.py:1-20 exports the
+same names).
+"""
+from .diffusion import (
+    ARVDiffusion,
+    ARVSampler,
+    Diffusion,
+    Distribution,
+    Inpainter,
+    LinearSchedule,
+    Sampler,
+    Schedule,
+    UniformDistribution,
+    VDiffusion,
+    VInpainter,
+    VSampler,
+)
+from .dsp import MelSpectrogram
+from .models import (
+    AdapterBase,
+    DiffusionAE,
+    DiffusionAR,
+    DiffusionModel,
+    DiffusionUpsampler,
+    DiffusionVocoder,
+    EncoderBase,
+    MelEncoder1d,
+    TanhBottleneck,
+)
+from .ops import AppendChannelsPlugin, LTPlugin, Net, UNetV0, XUNet
+
+__version__ = "0.1.0"
+
+__all__ = [
+    # reference public API (reference __init__.py:1-20)
+    "LTPlugin",
+    "MelSpectrogram",
+    "UNetV0",
+    "XUNet",
+    "Diffusion",
+    "Distribution",
+    "LinearSchedule",
+    "Sampler",
+    "Schedule",
+    "UniformDistribution",
+    "VDiffusion",
+    "VInpainter",
+    "VSampler",
+    "DiffusionAE",
+    "DiffusionAR",
+    "DiffusionModel",
+    "DiffusionUpsampler",
+    "DiffusionVocoder",
+    "EncoderBase",
+    # additional exports
+    "ARVDiffusion",
+    "ARVSampler",
+    "Inpainter",
+    "AdapterBase",
+    "AppendChannelsPlugin",
+    "Net",
+    "MelEncoder1d",
+    "TanhBottleneck",
+]

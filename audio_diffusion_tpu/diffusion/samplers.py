@@ -32,6 +32,9 @@ class Sampler:
     """Interface for samplers (reference diffusion.py:154-155)."""
 
     net: Net
+    # True when sample() consumes RNG (its second positional arg is a key);
+    # DiffusionModel.sample injects a key automatically.
+    needs_key: bool = False
 
     def sample(self, params: Dict, *args, **kwargs) -> Array:
         raise NotImplementedError()
@@ -86,6 +89,8 @@ class ARVSampler(Sampler):
     Reference: diffusion.py:193-296. σ is concatenated as an input channel at
     every step (reference diffusion.py:231); the net takes no σ embedding.
     """
+
+    needs_key = True
 
     def __init__(self, net: Net, in_channels: int, length: int, num_splits: int):
         assert length % num_splits == 0, "length must be divisible by num_splits"

@@ -32,6 +32,11 @@ class Diffusion:
     def loss(self, params: Dict, key: Array, x: Array, **kwargs) -> Array:
         raise NotImplementedError()
 
+    def init_net_params(self, key: Array, x: Array, **kwargs) -> Dict:
+        """Initialize the net's params from an example batch (the net input
+        layout depends on the diffusion method — σ embedding vs σ channel)."""
+        raise NotImplementedError()
+
     def __call__(self, params: Dict, key: Array, x: Array, **kwargs) -> Array:
         return self.loss(params, key, x, **kwargs)
 
@@ -64,6 +69,10 @@ class VDiffusion(Diffusion):
         v_target = alphas * noise - betas * x
         v_pred = self.net.apply(params, x_noisy, sigmas, key=key_net, **kwargs)
         return self.loss_fn(v_pred, v_target)
+
+    def init_net_params(self, key: Array, x: Array, **kwargs) -> Dict:
+        sigmas = jnp.zeros((x.shape[0],), dtype=x.dtype)
+        return self.net.init(key, x, sigmas, **kwargs)
 
 
 class ARVDiffusion(Diffusion):
@@ -99,3 +108,8 @@ class ARVDiffusion(Diffusion):
         channels = jnp.concatenate([x_noisy, sigmas], axis=1)
         v_pred = self.net.apply(params, channels, None, key=key_net, **kwargs)
         return self.loss_fn(v_pred, v_target)
+
+    def init_net_params(self, key: Array, x: Array, **kwargs) -> Dict:
+        # The AR net sees x with σ as an extra channel (no σ embedding).
+        channels = jnp.concatenate([x, jnp.zeros_like(x[:, :1])], axis=1)
+        return self.net.init(key, channels, None, **kwargs)

@@ -1,0 +1,222 @@
+"""DiffusionModel: the composition root (net + diffusion + sampler).
+
+API parity with reference models.py:22-45: flat kwargs routed by prefix
+(`diffusion_*` -> diffusion_t, `sampler_*` -> sampler_t, rest -> net_t), then
+``loss = model(audio)`` / ``model.sample(noise, num_steps=...)``.
+
+JAX-native mechanics underneath:
+
+- The model owns ``params`` (a pytree: ``{"net": ..., [task extras]}``) and a
+  PRNG key; parameters auto-initialize from the first batch (or explicitly
+  via :meth:`initialize`).
+- ``model.loss(params, key, x, **cond)`` is the PURE loss for custom train
+  loops — ``jax.grad`` it directly (reference users call loss.backward();
+  here they get a pure function instead, SURVEY.md §3.1).
+- Convenience calls (``model(x)``, ``model.sample(...)``) run through a jit
+  cache: array-valued arguments are traced, Python scalars (num_steps,
+  embedding_scale, ...) are static, so each distinct configuration compiles
+  once and the sampling loop is a single fused XLA computation.
+- ``text=[...]`` is encoded host-side ONCE per call into ``embedding=``
+  before entering jit (see ops/components.py docstring).
+"""
+from __future__ import annotations
+
+import inspect
+from abc import ABC, abstractmethod
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from ..diffusion import VDiffusion, VSampler, mse_loss
+from ..utils import default, groupby
+
+__all__ = ["DiffusionModel", "EncoderBase", "AdapterBase"]
+
+
+def _contains_array(v: Any) -> bool:
+    if isinstance(v, (jnp.ndarray, np.ndarray)):
+        return True
+    if isinstance(v, dict):
+        return any(_contains_array(e) for e in v.values())
+    if isinstance(v, (list, tuple)):
+        return any(_contains_array(e) for e in v)
+    return False
+
+
+def _hashable(v: Any) -> Any:
+    if isinstance(v, list):
+        return tuple(_hashable(e) for e in v)
+    return v
+
+
+class DiffusionModel:
+    def __init__(
+        self,
+        net_t: Callable,
+        diffusion_t: Callable = VDiffusion,
+        sampler_t: Callable = VSampler,
+        loss_fn: Callable = mse_loss,
+        dim: int = 1,
+        seed: int = 0,
+        **kwargs,
+    ):
+        diffusion_kwargs, kwargs = groupby("diffusion_", kwargs)
+        sampler_kwargs, kwargs = groupby("sampler_", kwargs)
+
+        self.net = net_t(dim=dim, **kwargs)
+        self.diffusion = diffusion_t(
+            net=self.net, loss_fn=loss_fn, **diffusion_kwargs)
+        self.sampler = sampler_t(net=self.net, **sampler_kwargs)
+
+        self.params: Optional[Dict] = None
+        self._rng = jax.random.key(seed)
+        self._jit_cache: Dict[str, Callable] = {}
+
+    # ------------------------------------------------------------------ rng
+    def next_key(self) -> Array:
+        self._rng, key = jax.random.split(self._rng)
+        return key
+
+    # ----------------------------------------------------- text conditioning
+    def _process_cond(self, kwargs: Dict) -> Dict:
+        if "text" in kwargs:
+            text = kwargs.pop("text")
+            encoder = getattr(self.net, "text_encoder", None)
+            assert encoder is not None, (
+                "text= requires a net built with use_text_conditioning=True "
+                "(or pass embedding= directly)")
+            assert "embedding" not in kwargs, (
+                "pass either text= or embedding=, not both")
+            kwargs["embedding"] = jnp.asarray(encoder(list(text)))
+        return kwargs
+
+    # ------------------------------------------------------------------ init
+    def init_params(self, key: Array, x: Array, **kwargs) -> Dict:
+        """Build the full parameter pytree from an example batch."""
+        return {"net": self.diffusion.init_net_params(key, x, **kwargs)}
+
+    def initialize(self, x, key: Optional[Array] = None, **kwargs) -> Dict:
+        kwargs = self._process_cond(kwargs)
+        key = default(key, self.next_key)
+        self.params = self.init_params(key, jnp.asarray(x), **kwargs)
+        return self.params
+
+    def _auto_init(self, x, kwargs: Dict):
+        if self.params is None:
+            init_kwargs = {
+                k: v for k, v in kwargs.items()
+                if k not in ("with_info",)}
+            self.params = self.init_params(
+                self.next_key(), jnp.asarray(x), **init_kwargs)
+
+    # ------------------------------------------------------------- pure fns
+    def loss(self, params: Dict, key: Array, x: Array, **kwargs) -> Array:
+        """PURE training loss — differentiate with jax.grad. Text must be
+        pre-encoded to embedding= (use model._process_cond or encode_text)."""
+        return self.diffusion.loss(params["net"], key, x, **kwargs)
+
+    def sample_fn(self, params: Dict, *args, **kwargs) -> Array:
+        """PURE sampling function (jittable)."""
+        return self.sampler.sample(params["net"], *args, **kwargs)
+
+    # ------------------------------------------------------- jit dispatcher
+    def _jitted(self, tag: str, fn: Callable, /, **all_kwargs):
+        """Call fn(**all_kwargs) under jit: array-valued kwargs traced,
+        scalars static. One compiled program per (tag, static config,
+        array-structure) combination."""
+        dynamic, static = {}, {}
+        for k, v in all_kwargs.items():
+            (dynamic if _contains_array(v) else static)[k] = v
+        static_items = tuple(sorted(
+            (k, _hashable(v)) for k, v in static.items()))
+
+        if tag not in self._jit_cache:
+            def run(dyn, stat_items):
+                merged = dict(dyn)
+                merged.update(dict(stat_items))
+                return fn(**merged)
+
+            self._jit_cache[tag] = jax.jit(run, static_argnums=(1,))
+        return self._jit_cache[tag](dynamic, static_items)
+
+    # ------------------------------------------------------------ user API
+    def __call__(self, x, *args, key: Optional[Array] = None,
+                 **kwargs) -> Array:
+        """Training loss on a batch (reference models.py:40-41)."""
+        assert not args, "pass conditioning as keyword arguments"
+        x = jnp.asarray(x)
+        kwargs = self._process_cond(kwargs)
+        self._auto_init(x, kwargs)
+        key = default(key, self.next_key)
+        return self._jitted("loss", self.loss,
+                            params=self.params, key=key, x=x, **kwargs)
+
+    def sample(self, *args, key: Optional[Array] = None, **kwargs) -> Array:
+        """Draw samples (reference models.py:43-45). Extra leading `key`
+        argument is injected for samplers that consume RNG (ARVSampler)."""
+        kwargs = self._process_cond(kwargs)
+        if self.params is None and args and _contains_array(args[0]):
+            self._auto_init(args[0], kwargs)
+        assert self.params is not None, (
+            "initialize the model first (call model(x) or model.initialize)")
+        # Bind positional args to the sampler's parameter names so they can
+        # ride through the static/dynamic kwarg split.
+        sig = inspect.signature(type(self.sampler).sample)
+        extra = (self.next_key(),) if getattr(
+            self.sampler, "needs_key", False) and key is None else ()
+        key_args = (key,) if key is not None else extra
+        bound = sig.bind(self.sampler, self.params["net"], *key_args, *args,
+                         **kwargs)
+        call_kwargs = dict(bound.arguments)
+        call_kwargs.pop("self")
+        var_kw = call_kwargs.pop("kwargs", {})
+        call_kwargs.update(var_kw)
+        # Replace net-params with full params so task models can override
+        # sample_fn; route through sample_fn for uniformity.
+        call_kwargs["params"] = self.params
+
+        def run_sample(**kw):
+            p = kw.pop("params")
+            return self.sample_fn(p, **kw)
+
+        return self._jitted("sample", run_sample, **call_kwargs)
+
+
+class EncoderBase(ABC):
+    """Abstract encoder for DiffusionAE (reference models.py:48-55).
+
+    Subclasses expose ``out_channels`` and ``downsample_factor`` plus the
+    functional pair ``init(key, x)`` / ``apply(params, x, with_info=False)``.
+    """
+
+    out_channels: int
+    downsample_factor: int
+
+    @abstractmethod
+    def init(self, key: Array, x: Array) -> Dict:
+        ...
+
+    @abstractmethod
+    def apply(self, params: Dict, x: Array, with_info: bool = False):
+        ...
+
+
+class AdapterBase(ABC):
+    """Abstract adapter for DiffusionAE (reference models.py:58-67).
+
+    Stateless (or frozen-parameter) transform pair; applied around the
+    diffusion space. The reference freezes adapter params
+    (models.py:96 ``requires_grad_(False)``); here adapters are plain
+    callables, so frozen by construction.
+    """
+
+    @abstractmethod
+    def encode(self, x: Array) -> Array:
+        ...
+
+    @abstractmethod
+    def decode(self, x: Array) -> Array:
+        ...

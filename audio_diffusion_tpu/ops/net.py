@@ -39,6 +39,10 @@ class Net:
         self.module = module
         self.in_channels = in_channels
         self.out_channels = out_channels
+        # Optional host-side text encoder; set by UNetV0 when
+        # use_text_conditioning=True. The model layer uses it to turn
+        # `text=[...]` into an `embedding=` array before entering jit.
+        self.text_encoder = None
         # False for AR nets: σ rides as an input channel instead of an
         # embedding (reference models.py:247-248, diffusion.py:127-129).
         self.uses_sigma = uses_sigma
