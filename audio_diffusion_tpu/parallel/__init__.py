@@ -1,0 +1,10 @@
+from .mesh import create_mesh, param_sharding_rules, shard_batch, shard_params
+from .train_step import make_train_step
+
+__all__ = [
+    "create_mesh",
+    "shard_batch",
+    "shard_params",
+    "param_sharding_rules",
+    "make_train_step",
+]

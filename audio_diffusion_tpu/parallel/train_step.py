@@ -1,0 +1,107 @@
+"""Sharded training step: grad + optax update as ONE jitted computation.
+
+The whole reference train loop is user-owned Python calling loss.backward()
+(reference README.md:37-39); here the step is a single donated-buffer XLA
+program. Under a ('data','model') mesh the batch is sharded on 'data' and the
+gradient allreduce (psum over 'data') is inserted by XLA's SPMD partitioner —
+bucketed/overlapped by the compiler over ICI (BASELINE.json north star).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import Array
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import param_sharding_rules
+
+__all__ = ["TrainState", "make_train_step"]
+
+
+class TrainState(NamedTuple):
+    step: Array
+    params: Any
+    opt_state: Any
+    rng: Array
+
+
+def make_train_step(
+    loss_fn: Callable[..., Array],
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+) -> Tuple[Callable, Callable]:
+    """Build (init_state, train_step).
+
+    loss_fn(params, key, batch, **cond) -> scalar loss — e.g.
+    ``DiffusionModel.loss``.
+
+    Returns:
+      init_state(params, rng) -> TrainState (sharded if mesh given)
+      train_step(state, batch, **cond) -> (state, metrics) — jitted, donated.
+    """
+
+    def init_state(params, rng: Array) -> TrainState:
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=optimizer.init(params),
+            rng=rng,
+        )
+        if mesh is not None:
+            pspecs = param_sharding_rules(params, mesh)
+            params_sharded = jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                state.params, pspecs)
+            # Optimizer state: momenta share the param sharding (same
+            # shapes); scalars/counters replicate.
+            param_leaves = jax.tree_util.tree_leaves(state.params)
+            spec_by_shape = {}
+            for p, s in zip(param_leaves, jax.tree_util.tree_leaves(pspecs)):
+                spec_by_shape.setdefault(p.shape, s)
+
+            def put_opt(x):
+                spec = spec_by_shape.get(getattr(x, "shape", None), P())
+                return jax.device_put(x, NamedSharding(mesh, spec))
+
+            opt_sharded = jax.tree_util.tree_map(put_opt, state.opt_state)
+            state = TrainState(
+                step=jax.device_put(state.step, NamedSharding(mesh, P())),
+                params=params_sharded,
+                opt_state=opt_sharded,
+                rng=jax.device_put(state.rng, NamedSharding(mesh, P())),
+            )
+        return state
+
+    def step_fn(state: TrainState, batch, **cond):
+        rng, key = jax.random.split(state.rng)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, key, batch, **cond)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        grad_norm = optax.global_norm(grads)
+        metrics = {"loss": loss, "grad_norm": grad_norm,
+                   "step": state.step + 1}
+        return TrainState(state.step + 1, params, opt_state, rng), metrics
+
+    if mesh is not None:
+        # State shardings are inferred from input placement (init_state);
+        # constrain the batch and all conditioning arrays (all batch-leading)
+        # to the data axis so XLA partitions the forward/backward over it.
+        def constrain(x):
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
+
+        def train_step(state: TrainState, batch, **cond):
+            batch = jax.tree_util.tree_map(constrain, batch)
+            cond = jax.tree_util.tree_map(constrain, cond)
+            return step_fn(state, batch, **cond)
+    else:
+        train_step = step_fn
+
+    jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return init_state, jitted

@@ -1,0 +1,170 @@
+"""Training loop with checkpointing, metrics, and profiler hooks.
+
+The reference ships NO trainer (users write loss.backward() loops,
+reference README.md:37-39) and none of: tracing, checkpoint/resume, metrics
+(SURVEY.md §5.1-5.5). This module provides those as first-class subsystems:
+
+- orbax checkpoints of the full ``{params, opt_state, step, rng}`` pytree
+  (periodic + resume-from-latest, the standard TPU preemption story)
+- metrics dict per step (loss, grad_norm) with a host-side logger
+- ``jax.profiler`` trace capture over a step window
+- optional NaN debugging (``jax_debug_nans``) as the sanitizer story
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import optax
+from jax.sharding import Mesh
+
+from ..parallel import make_train_step
+from ..parallel.train_step import TrainState
+
+__all__ = ["Trainer", "TrainerConfig"]
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    max_grad_norm: Optional[float] = None
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 1000
+    max_checkpoints: int = 3
+    log_every: int = 50
+    profile_dir: Optional[str] = None
+    profile_start_step: int = 10
+    profile_num_steps: int = 5
+    debug_nans: bool = False
+
+
+class Trainer:
+    """Owns the optimizer, train state, checkpointing and logging.
+
+    Usage::
+
+        model = DiffusionModel(...)
+        model.initialize(example_batch)
+        trainer = Trainer(model, TrainerConfig(checkpoint_dir=...), mesh=mesh)
+        trainer.fit(batch_iterator, num_steps=10_000)
+    """
+
+    def __init__(self, model, config: Optional[TrainerConfig] = None,
+                 mesh: Optional[Mesh] = None,
+                 optimizer: Optional[optax.GradientTransformation] = None,
+                 log_fn: Callable[[str], None] = print):
+        self.model = model
+        self.config = config or TrainerConfig()
+        self.mesh = mesh
+        self.log_fn = log_fn
+
+        if optimizer is None:
+            tx = []
+            if self.config.max_grad_norm is not None:
+                tx.append(optax.clip_by_global_norm(self.config.max_grad_norm))
+            tx.append(optax.adamw(self.config.learning_rate,
+                                  weight_decay=self.config.weight_decay))
+            optimizer = optax.chain(*tx)
+        self.optimizer = optimizer
+
+        self._init_state_fn, self.train_step = make_train_step(
+            model.loss, optimizer, mesh=mesh)
+        self.state: Optional[TrainState] = None
+
+        self._ckpt_mgr = None
+        if self.config.checkpoint_dir is not None:
+            import orbax.checkpoint as ocp
+
+            self._ckpt_mgr = ocp.CheckpointManager(
+                Path(self.config.checkpoint_dir).absolute(),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=self.config.max_checkpoints,
+                    create=True,
+                ),
+            )
+
+    # ------------------------------------------------------------ lifecycle
+    def init_state(self, key: Optional[jax.Array] = None) -> TrainState:
+        assert self.model.params is not None, (
+            "initialize the model first (model.initialize(example))")
+        key = key if key is not None else self.model.next_key()
+        self.state = self._init_state_fn(self.model.params, key)
+        return self.state
+
+    # ---------------------------------------------------------- checkpoints
+    def save_checkpoint(self, step: Optional[int] = None):
+        assert self._ckpt_mgr is not None, "no checkpoint_dir configured"
+        assert self.state is not None
+        import orbax.checkpoint as ocp
+
+        step = step if step is not None else int(self.state.step)
+        self._ckpt_mgr.save(
+            step, args=ocp.args.PyTreeSave(self._state_as_pytree()))
+        self._ckpt_mgr.wait_until_finished()
+
+    def restore_latest(self) -> Optional[int]:
+        """Restore the newest checkpoint; returns its step or None."""
+        assert self._ckpt_mgr is not None, "no checkpoint_dir configured"
+        latest = self._ckpt_mgr.latest_step()
+        if latest is None:
+            return None
+        import orbax.checkpoint as ocp
+
+        if self.state is None:
+            self.init_state()
+        restored = self._ckpt_mgr.restore(
+            latest,
+            args=ocp.args.PyTreeRestore(self._state_as_pytree()))
+        self.state = TrainState(**restored)
+        self.model.params = self.state.params
+        return latest
+
+    def _state_as_pytree(self) -> Dict[str, Any]:
+        return dict(self.state._asdict())
+
+    # ----------------------------------------------------------------- fit
+    def fit(self, batches: Iterable, num_steps: int, **cond) -> Dict:
+        """Run `num_steps` steps over `batches`; returns the last metrics."""
+        if self.config.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+        if self.state is None:
+            self.init_state()
+
+        cfg = self.config
+        metrics: Dict = {}
+        t_last = time.perf_counter()
+        it = iter(batches)
+        for i in range(num_steps):
+            batch = next(it)
+            step = int(self.state.step)
+
+            if (cfg.profile_dir is not None
+                    and step == cfg.profile_start_step):
+                jax.profiler.start_trace(cfg.profile_dir)
+            self.state, metrics = self.train_step(self.state, batch, **cond)
+            if (cfg.profile_dir is not None
+                    and step == cfg.profile_start_step
+                    + cfg.profile_num_steps):
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+
+            if (step + 1) % cfg.log_every == 0 or i == num_steps - 1:
+                loss = float(metrics["loss"])
+                gnorm = float(metrics["grad_norm"])
+                now = time.perf_counter()
+                sps = cfg.log_every / max(now - t_last, 1e-9)
+                t_last = now
+                self.log_fn(
+                    f"step {step + 1}: loss={loss:.4f} "
+                    f"grad_norm={gnorm:.3f} steps/s={sps:.2f}")
+
+            if (self._ckpt_mgr is not None
+                    and (step + 1) % cfg.checkpoint_every == 0):
+                self.save_checkpoint(step + 1)
+
+        self.model.params = self.state.params
+        return metrics

@@ -1,0 +1,87 @@
+"""Benchmark: 50-step VSampler, 2^18-sample stereo, full README 9-level U-Net
+(BASELINE.json north-star configuration), bf16 compute, batch 1.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes NO numbers (BASELINE.md) and cannot run
+here (a-unet not installed, no network). The baseline is therefore an
+ANALYTIC estimate of the PyTorch reference on one A100: the compiled step's
+FLOP count (from XLA cost analysis) at an assumed 25% A100-bf16 MFU
+(312 TFLOP/s peak; eager torch with per-step Python loop and hundreds of
+small kernels typically lands at or below this). vs_baseline = measured
+steps/s ÷ that estimate. BASELINE.json's target is ≥3×.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+NUM_STEPS = 50
+LENGTH = 2**18
+BATCH = 1
+A100_PEAK_BF16 = 312e12
+ASSUMED_REFERENCE_MFU = 0.25
+
+
+def main():
+    from audio_diffusion_tpu import DiffusionModel, UNetV0
+
+    model = DiffusionModel(
+        net_t=UNetV0,
+        in_channels=2,
+        channels=[8, 32, 64, 128, 256, 512, 512, 1024, 1024],
+        factors=[1, 4, 4, 4, 2, 2, 2, 2, 2],
+        items=[1, 2, 2, 2, 2, 2, 2, 4, 4],
+        attentions=[0, 0, 0, 0, 0, 1, 1, 1, 1],
+        attention_heads=8,
+        attention_features=64,
+        dtype=jnp.bfloat16,
+    )
+    example = jnp.zeros((BATCH, 2, LENGTH), jnp.float32)
+    model.initialize(example)
+
+    def sample(params, noise):
+        return model.sample_fn(params, noise, num_steps=NUM_STEPS)
+
+    noise = jax.random.normal(jax.random.key(0), (BATCH, 2, LENGTH),
+                              jnp.float32)
+    jitted = jax.jit(sample)
+
+    # FLOPs per sampling step from XLA cost analysis (whole scan / NUM_STEPS).
+    lowered = jitted.lower(model.params, noise)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops_per_step = float(cost.get("flops", 0.0)) / NUM_STEPS
+
+    out = jitted(model.params, noise)
+    out.block_until_ready()  # warmup (compile done above, first run)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = jitted(model.params, noise)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = NUM_STEPS * reps / elapsed
+    if flops_per_step > 0:
+        baseline_est = (A100_PEAK_BF16 * ASSUMED_REFERENCE_MFU
+                        / flops_per_step)
+        vs_baseline = steps_per_sec / baseline_est
+    else:
+        vs_baseline = None
+
+    print(json.dumps({
+        "metric": "vsampler_steps_per_sec_2e18_stereo_9level",
+        "value": round(steps_per_sec, 3),
+        "unit": "net_steps/sec",
+        "vs_baseline": round(vs_baseline, 4) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
