@@ -36,14 +36,7 @@ from ..utils import default, groupby
 __all__ = ["DiffusionModel", "EncoderBase", "AdapterBase"]
 
 
-def _contains_array(v: Any) -> bool:
-    if isinstance(v, (jnp.ndarray, np.ndarray)):
-        return True
-    if isinstance(v, dict):
-        return any(_contains_array(e) for e in v.values())
-    if isinstance(v, (list, tuple)):
-        return any(_contains_array(e) for e in v)
-    return False
+from ..ops.net import contains_array as _contains_array
 
 
 def _hashable(v: Any) -> Any:
@@ -101,7 +94,11 @@ class DiffusionModel:
     def initialize(self, x, key: Optional[Array] = None, **kwargs) -> Dict:
         kwargs = self._process_cond(kwargs)
         key = default(key, self.next_key)
-        self.params = self.init_params(key, jnp.asarray(x), **kwargs)
+        # One jit around the whole init: linen's module.init otherwise
+        # dispatches the forward op-by-op (slow; pathological on remote
+        # devices).
+        self.params = self._jitted("init", self.init_params,
+                                   key=key, x=jnp.asarray(x), **kwargs)
         return self.params
 
     def _auto_init(self, x, kwargs: Dict):
@@ -109,8 +106,7 @@ class DiffusionModel:
             init_kwargs = {
                 k: v for k, v in kwargs.items()
                 if k not in ("with_info",)}
-            self.params = self.init_params(
-                self.next_key(), jnp.asarray(x), **init_kwargs)
+            self.initialize(x, **init_kwargs)
 
     # ------------------------------------------------------------- pure fns
     def loss(self, params: Dict, key: Array, x: Array, **kwargs) -> Array:

@@ -21,9 +21,23 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
-__all__ = ["Net"]
+__all__ = ["Net", "contains_array"]
+
+
+def contains_array(v: Any) -> bool:
+    """True if the value (or any nested element) is an ndarray — used to
+    split traced vs static arguments at jit boundaries."""
+    if isinstance(v, (jnp.ndarray, np.ndarray)):
+        return True
+    if isinstance(v, dict):
+        return any(contains_array(e) for e in v.values())
+    if isinstance(v, (list, tuple)):
+        return any(contains_array(e) for e in v)
+    return False
 
 
 class Net:
@@ -50,12 +64,21 @@ class Net:
     # -- functional API ----------------------------------------------------
     def init(self, key: Array, x: Array, sigmas: Optional[Array] = None,
              **cond) -> Dict:
-        """Initialize parameters from example inputs; returns the params pytree."""
+        """Initialize parameters from example inputs; returns the params
+        pytree. The init runs under ONE jit (linen's bare module.init
+        dispatches the forward op-by-op — pathological over a remote-device
+        transport and slow everywhere)."""
+        arrays = {k: v for k, v in cond.items() if contains_array(v)}
+        static = {k: v for k, v in cond.items() if k not in arrays}
+
+        def do_init(key_params, key_call, x, sigmas, arrays):
+            return self.module.init(
+                {"params": key_params, "cfg": key_call},
+                x, sigmas, **arrays, **static,
+            )
+
         key_params, key_call = jax.random.split(key)
-        variables = self.module.init(
-            {"params": key_params, "cfg": key_call},
-            x, sigmas, **cond,
-        )
+        variables = jax.jit(do_init)(key_params, key_call, x, sigmas, arrays)
         return variables["params"]
 
     def apply(self, params: Dict, x: Array, sigmas: Optional[Array] = None,

@@ -50,21 +50,28 @@ def main():
                               jnp.float32)
     jitted = jax.jit(sample)
 
-    # FLOPs per sampling step from XLA cost analysis (whole scan / NUM_STEPS).
-    lowered = jitted.lower(model.params, noise)
-    compiled = lowered.compile()
-    cost = compiled.cost_analysis()
-    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-    flops_per_step = float(cost.get("flops", 0.0)) / NUM_STEPS
+    # FLOPs of ONE net forward from XLA cost analysis (the sampling step is
+    # one forward + a few elementwise ops).
+    def one_forward(params, x):
+        return model.net.apply(params["net"], x,
+                               jnp.full((BATCH,), 0.5, jnp.float32))
 
+    cost = jax.jit(one_forward).lower(
+        model.params, noise).compile().cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops_per_step = float((cost or {}).get("flops", 0.0))
+
+    # `.sum()` fetch forces TRUE completion — block_until_ready on the
+    # tunneled axon backend can return before execution finishes.
+    fetch = jax.jit(lambda x: jnp.sum(x))
     out = jitted(model.params, noise)
-    out.block_until_ready()  # warmup (compile done above, first run)
+    _ = float(fetch(out))  # warmup both programs end-to-end
 
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
         out = jitted(model.params, noise)
-    out.block_until_ready()
+    _ = float(fetch(out))
     elapsed = time.perf_counter() - t0
 
     steps_per_sec = NUM_STEPS * reps / elapsed
@@ -75,6 +82,11 @@ def main():
     else:
         vs_baseline = None
 
+    import sys
+    print(f"diag: {elapsed/reps:.3f}s per 50-step sample, "
+          f"{1000*elapsed/(reps*NUM_STEPS):.2f} ms/step, "
+          f"net forward ≈ {flops_per_step/1e9:.1f} GFLOP",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "vsampler_steps_per_sec_2e18_stereo_9level",
         "value": round(steps_per_sec, 3),
