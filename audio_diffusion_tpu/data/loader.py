@@ -1,0 +1,180 @@
+"""Training data pipeline: native WAV decode + threaded prefetch batching.
+
+The reference ships no data loading (SURVEY.md §1: "users write their own
+training loops"). Here the host-side input path is native C++
+(native/wavio.cpp, ctypes ABI): WAV decoding and random-crop batch assembly
+run off the GIL in a worker thread, double-buffered so host input processing
+overlaps device compute.
+
+The shared library is compiled on demand with g++ (cached next to the
+source); no external deps.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import queue
+import subprocess
+import threading
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+__all__ = ["AudioDataset", "wav_probe", "wav_read"]
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB = None
+_LIB_LOCK = threading.Lock()
+
+
+def _load_lib() -> ctypes.CDLL:
+    global _LIB
+    with _LIB_LOCK:
+        if _LIB is not None:
+            return _LIB
+        so = _NATIVE_DIR / "libwavio.so"
+        src = _NATIVE_DIR / "wavio.cpp"
+        if not so.exists() or (src.exists()
+                               and src.stat().st_mtime > so.stat().st_mtime):
+            subprocess.run(
+                ["g++", "-O3", "-Wall", "-fPIC", "-std=c++17", "-shared",
+                 "-o", str(so), str(src)],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(str(so))
+        lib.wav_probe.restype = ctypes.c_int
+        lib.wav_probe.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64)]
+        lib.wav_read.restype = ctypes.c_int
+        lib.wav_read.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float)]
+        lib.wav_read_batch.restype = ctypes.c_int
+        lib.wav_read_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float)]
+        _LIB = lib
+        return lib
+
+
+def wav_probe(path: str | os.PathLike) -> tuple[int, int, int]:
+    """Return (channels, sample_rate, frames) of a WAV file."""
+    lib = _load_lib()
+    c = ctypes.c_int32()
+    sr = ctypes.c_int32()
+    n = ctypes.c_int64()
+    err = lib.wav_probe(str(path).encode(), ctypes.byref(c),
+                        ctypes.byref(sr), ctypes.byref(n))
+    if err != 0:
+        raise IOError(f"wav_probe({path}) failed with code {err}")
+    return c.value, sr.value, n.value
+
+
+def wav_read(path: str | os.PathLike, start: int = 0,
+             num_frames: Optional[int] = None) -> np.ndarray:
+    """Decode [start, start+num_frames) to planar float32 [channels, frames]."""
+    lib = _load_lib()
+    channels, _sr, total = wav_probe(path)
+    if num_frames is None:
+        num_frames = total - start
+    out = np.empty((channels, num_frames), np.float32)
+    err = lib.wav_read(str(path).encode(), start, num_frames,
+                       out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if err != 0:
+        raise IOError(f"wav_read({path}) failed with code {err}")
+    return out
+
+
+class AudioDataset:
+    """Random-crop batches from a directory (or list) of WAV files.
+
+    Iterating yields float32 arrays [batch, channels, crop_frames]; the next
+    batch is assembled by the native decoder in a background thread while the
+    current one is being consumed (double buffering).
+    """
+
+    def __init__(
+        self,
+        source: str | os.PathLike | Sequence[str | os.PathLike],
+        crop_frames: int,
+        batch_size: int,
+        channels: Optional[int] = None,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        if isinstance(source, (str, os.PathLike)):
+            files: List[Path] = sorted(Path(source).rglob("*.wav"))
+        else:
+            files = [Path(p) for p in source]
+        if not files:
+            raise ValueError("no .wav files found")
+
+        self.crop_frames = crop_frames
+        self.batch_size = batch_size
+        self._rng = np.random.default_rng(seed)
+        self._prefetch = prefetch
+
+        # Probe once; keep files long enough for a crop with matching
+        # channel count.
+        self.files: List[Path] = []
+        self.frames: List[int] = []
+        self.channels = channels
+        self.sample_rate: Optional[int] = None
+        for f in files:
+            c, sr, n = wav_probe(f)
+            if self.channels is None:
+                self.channels = c
+            if self.sample_rate is None:
+                self.sample_rate = sr
+            if c == self.channels and n >= crop_frames:
+                self.files.append(f)
+                self.frames.append(n)
+        if not self.files:
+            raise ValueError(
+                f"no usable files (need ≥{crop_frames} frames, "
+                f"{self.channels} channels)")
+
+    def _make_batch(self) -> np.ndarray:
+        lib = _load_lib()
+        b, c, t = self.batch_size, self.channels, self.crop_frames
+        idx = self._rng.integers(0, len(self.files), b)
+        starts = np.array(
+            [self._rng.integers(0, self.frames[i] - t + 1) for i in idx],
+            np.int64)
+        paths = (ctypes.c_char_p * b)(
+            *[str(self.files[i]).encode() for i in idx])
+        out = np.empty((b, c, t), np.float32)
+        err = lib.wav_read_batch(
+            paths, starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            b, c, t, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if err != 0:
+            raise IOError(f"wav_read_batch failed with code {err}")
+        return out
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        q: "queue.Queue" = queue.Queue(maxsize=self._prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                while not stop.is_set():
+                    q.put(self._make_batch())
+            except Exception as e:  # surface in consumer
+                q.put(e)
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            try:  # unblock the producer
+                q.get_nowait()
+            except queue.Empty:
+                pass

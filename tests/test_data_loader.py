@@ -1,0 +1,93 @@
+"""Native WAV loader: decode parity vs Python's wave module, batch iterator."""
+import wave
+
+import numpy as np
+import pytest
+
+from audio_diffusion_tpu.data import AudioDataset, wav_probe, wav_read
+
+
+def _write_wav(path, data: np.ndarray, sr=16000, fmt="pcm16"):
+    """data: [channels, frames] float32 in [-1, 1]."""
+    c, n = data.shape
+    interleaved = data.T.reshape(-1)
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(c)
+        f.setframerate(sr)
+        if fmt == "pcm16":
+            f.setsampwidth(2)
+            pcm = np.clip(interleaved * 32768, -32768, 32767).astype("<i2")
+            f.writeframes(pcm.tobytes())
+        elif fmt == "pcm32":
+            f.setsampwidth(4)
+            pcm = np.clip(interleaved * 2147483648, -2**31, 2**31 - 1
+                          ).astype("<i4")
+            f.writeframes(pcm.tobytes())
+        else:
+            raise ValueError(fmt)
+
+
+@pytest.fixture()
+def wav_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        data = (rng.standard_normal((2, 4000)) * 0.3).astype(np.float32)
+        _write_wav(tmp_path / f"f{i}.wav", data)
+    return tmp_path
+
+
+def test_probe_and_read_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    data = np.clip(rng.standard_normal((2, 1000)) * 0.5,
+                   -0.99, 0.99).astype(np.float32)
+    p = tmp_path / "x.wav"
+    _write_wav(p, data, sr=22050)
+    c, sr, n = wav_probe(p)
+    assert (c, sr, n) == (2, 22050, 1000)
+    out = wav_read(p)
+    assert out.shape == (2, 1000)
+    # PCM16 quantization error bound: 1/32768
+    np.testing.assert_allclose(out, data, atol=1.01 / 32768)
+
+
+def test_read_pcm32(tmp_path):
+    rng = np.random.default_rng(2)
+    data = np.clip(rng.standard_normal((1, 500)) * 0.5,
+                   -0.99, 0.99).astype(np.float32)
+    p = tmp_path / "y.wav"
+    _write_wav(p, data, fmt="pcm32")
+    out = wav_read(p)
+    np.testing.assert_allclose(out, data, atol=1e-6)
+
+
+def test_read_slice(tmp_path):
+    data = np.arange(200, dtype=np.float32)[None] / 400
+    p = tmp_path / "z.wav"
+    _write_wav(p, data)
+    out = wav_read(p, start=50, num_frames=20)
+    np.testing.assert_allclose(out, data[:, 50:70], atol=1.01 / 32768)
+
+
+def test_read_out_of_range(tmp_path):
+    data = np.zeros((1, 100), np.float32)
+    p = tmp_path / "w.wav"
+    _write_wav(p, data)
+    with pytest.raises(IOError):
+        wav_read(p, start=90, num_frames=20)
+
+
+def test_dataset_batches(wav_dir):
+    ds = AudioDataset(wav_dir, crop_frames=256, batch_size=4, seed=1)
+    assert ds.channels == 2 and ds.sample_rate == 16000
+    it = iter(ds)
+    b1 = next(it)
+    b2 = next(it)
+    assert b1.shape == (4, 2, 256) and b1.dtype == np.float32
+    assert not np.allclose(b1, b2)  # random crops differ
+    assert float(np.abs(b1).max()) <= 1.0
+
+
+def test_dataset_rejects_short_files(tmp_path):
+    _write_wav(tmp_path / "s.wav", np.zeros((2, 10), np.float32))
+    with pytest.raises(ValueError, match="no usable files"):
+        AudioDataset(tmp_path, crop_frames=100, batch_size=1)
