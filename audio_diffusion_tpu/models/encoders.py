@@ -45,9 +45,11 @@ class _MelEncoderModule(nn.Module):
                    dtype=self.dtype, param_dtype=self.param_dtype)(h)
         for factor, blocks in zip(self.factors, self.num_blocks):
             for _ in range(blocks):
-                h = ResnetItem(groups=self.resnet_groups, dtype=self.dtype,
+                h = ResnetItem(channels=self.channels,
+                               groups=self.resnet_groups, dtype=self.dtype,
                                param_dtype=self.param_dtype)(h)
-            h = Downsample(self.channels, factor, dtype=self.dtype,
+            h = Downsample(in_channels=self.channels, features=self.channels,
+                           factor=factor, dtype=self.dtype,
                            param_dtype=self.param_dtype)(h)
         h = nn.GroupNorm(num_groups=self.resnet_groups, dtype=self.dtype,
                          param_dtype=self.param_dtype)(h)

@@ -55,6 +55,7 @@ def UNetV0(
     use_text_conditioning: bool = False,
     out_channels: Optional[int] = None,
     text_encoder: Optional[Any] = None,
+    lane_fold: bool = True,
     dtype: Optional[Any] = None,
     param_dtype: Any = jnp.float32,
 ) -> Net:
@@ -94,6 +95,7 @@ def UNetV0(
         attention_features=default(attention_features, 64),
         resnet_groups=resnet_groups,
         use_modulation=use_modulation,
+        lane_fold=lane_fold,
         dtype=dtype,
         param_dtype=param_dtype,
     )

@@ -7,8 +7,14 @@ op choices are made for the MXU/XLA:
 
 - Activations are channels-last [B, L, C] internally (C maps to TPU lanes);
   the public call boundary stays [B, C, T] for reference API parity.
-- Down/upsampling by factor f is a non-overlapping patch reshape + Dense
-  ([B,L,C] -> [B,L/f,f·C] -> Dense), i.e. a pure MXU matmul, instead of a
+- Narrow-channel levels (C < 128) run LANE-FOLDED: F = 128/C consecutive
+  samples fold into the channel dim so every op works on full 128-lane
+  tiles (see ops/folding.py — profiling showed the shallow levels of the
+  flagship config costing ~40% of the forward for ~2% of the FLOPs in the
+  naive layout). fold=1 (wide levels) is the ordinary layout; the math is
+  identical either way and parameters are layout-independent.
+- Down/upsampling by factor f is a block-diagonal matmul over folded frames
+  (a pure MXU matmul), i.e. non-overlapping patch resampling, instead of a
   cuDNN strided conv. Geometry invariant preserved: the feature length at
   depth d is full_length / prod(factors[:d+1]) (verified by the reference's
   DiffusionAE inject_depth=6 / MelE1d factor-512 pairing, README.md:137-163).
@@ -24,6 +30,7 @@ op choices are made for the MXU/XLA:
 """
 from __future__ import annotations
 
+import math
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -33,7 +40,15 @@ from jax import Array
 
 from ..utils import default
 from .attention import AttentionItem, CrossAttentionItem
-from .conv import Conv1d
+from .conv import conv1d
+from .folding import (
+    fold,
+    fold_conv3_kernel,
+    fold_dense_kernel,
+    fold_factor,
+    refold,
+    unfold,
+)
 
 __all__ = [
     "ResnetItem",
@@ -52,136 +67,218 @@ __all__ = [
 Dtype = Any
 
 
+def _tile(v: Array, f: int) -> Array:
+    """Per-channel vector [C] -> folded [f·C] (pattern repeats per frame pos)."""
+    return jnp.tile(v, f) if f > 1 else v
+
+
+def group_norm(x: Array, f: int, groups: int, scale: Array, bias: Array,
+               eps: float = 1e-5) -> Array:
+    """GroupNorm on a (possibly folded) [B, Lf, f·C] tensor: statistics per
+    (batch, group) over (length, fold positions, group channels); f32 stats."""
+    b, lf, fc = x.shape
+    c = fc // f
+    xg = x.reshape(b, lf, f, groups, c // groups).astype(jnp.float32)
+    mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+    centered = xg - mean
+    var = (centered * centered).mean(axis=(1, 2, 4), keepdims=True)
+    xn = (centered * jax.lax.rsqrt(var + eps)).reshape(b, lf, fc)
+    y = xn.astype(x.dtype) * _tile(scale, f) + _tile(bias, f)
+    return y
+
+
 class ResnetItem(nn.Module):
     """Pre-activation residual block: (GN -> SiLU -> Conv k=3) × 2 + identity.
 
     Channel width is constant inside an item stack (width changes happen in
-    Downsample/Upsample), so the shortcut is always identity.
+    Downsample/Upsample), so the shortcut is always identity. Runs fold-aware:
+    the k=3 convs become banded 3-tap frame convs when fold > 1.
     Contract: SURVEY.md §2.9 [reconstructed] a-unet ResnetItem.
     """
 
+    channels: int
+    fold: int = 1
     groups: int = 8
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        c = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype,
-                         param_dtype=self.param_dtype)(x)
+        c, f = self.channels, self.fold
+        p = lambda name, shape, init: self.param(  # noqa: E731
+            name, init, shape, self.param_dtype)
+        gn1_s = p("gn1_scale", (c,), nn.initializers.ones)
+        gn1_b = p("gn1_bias", (c,), nn.initializers.zeros)
+        k1 = p("conv1_kernel", (3, c, c), nn.initializers.lecun_normal())
+        b1 = p("conv1_bias", (c,), nn.initializers.zeros)
+        gn2_s = p("gn2_scale", (c,), nn.initializers.ones)
+        gn2_b = p("gn2_bias", (c,), nn.initializers.zeros)
+        k2 = p("conv2_kernel", (3, c, c), nn.initializers.lecun_normal())
+        b2 = p("conv2_bias", (c,), nn.initializers.zeros)
+
+        cast = (lambda a: a.astype(self.dtype)) if self.dtype else (lambda a: a)
+        h = group_norm(x, f, self.groups, cast(gn1_s), cast(gn1_b))
         h = nn.silu(h)
-        h = Conv1d(c, kernel_size=3, padding=1, dtype=self.dtype,
-                   param_dtype=self.param_dtype)(h)
-        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype,
-                         param_dtype=self.param_dtype)(h)
+        h = conv1d(h, cast(fold_conv3_kernel(k1, f)), padding=1) + _tile(
+            cast(b1), f)
+        h = group_norm(h, f, self.groups, cast(gn2_s), cast(gn2_b))
         h = nn.silu(h)
-        h = Conv1d(c, kernel_size=3, padding=1, dtype=self.dtype,
-                   param_dtype=self.param_dtype)(h)
+        h = conv1d(h, cast(fold_conv3_kernel(k2, f)), padding=1) + _tile(
+            cast(b2), f)
         return x + h
 
 
 class ModulationItem(nn.Module):
     """AdaGN-style FiLM from the modulation feature vector.
 
-    x -> GN(x)·(1+scale) + shift, with (scale, shift) = Dense(SiLU(features)).
-    The Dense is zero-initialized so the item starts as plain GroupNorm.
+    x -> x + GN(x)·(1+scale) + shift, with (scale, shift) =
+    Dense(SiLU(features)) zero-initialized (identity at init).
     Contract: SURVEY.md §2.9 [reconstructed] a-unet ModulationItem.
     """
 
+    channels: int
+    fold: int = 1
     groups: int = 8
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, features: Array) -> Array:
-        c = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype,
-                         param_dtype=self.param_dtype)(x)
+        c, f = self.channels, self.fold
+        gn_s = self.param("gn_scale", nn.initializers.ones, (c,),
+                          self.param_dtype)
+        gn_b = self.param("gn_bias", nn.initializers.zeros, (c,),
+                          self.param_dtype)
+        cast = (lambda a: a.astype(self.dtype)) if self.dtype else (lambda a: a)
+        h = group_norm(x, f, self.groups, cast(gn_s), cast(gn_b))
         mod = nn.Dense(2 * c, kernel_init=nn.initializers.zeros,
                        dtype=self.dtype, param_dtype=self.param_dtype)(
             nn.silu(features.astype(h.dtype)))
-        scale, shift = jnp.split(mod[:, None, :], 2, axis=-1)
+        scale, shift = jnp.split(mod, 2, axis=-1)  # [B, C] each
+        scale = _tile_batched(scale, f)[:, None, :]
+        shift = _tile_batched(shift, f)[:, None, :]
         return x + h * (1.0 + scale) + shift
 
 
+def _tile_batched(v: Array, f: int) -> Array:
+    """[B, C] -> [B, f·C]."""
+    return jnp.tile(v, (1, f)) if f > 1 else v
+
+
 class InjectChannelsItem(nn.Module):
-    """Concatenate depth-matched context channels, 1×1-conv back to width.
+    """Concatenate depth-matched context channels, project back to width.
 
     `context` arrives [B, ctx_ch, len_d] (reference layout, models.py:103);
-    its length must equal the feature length at this depth.
+    its length must equal the feature length at this depth. Only supported
+    at unfolded (wide) levels — README configs inject at depth 6 (C=512).
     Contract: SURVEY.md §2.9 [reconstructed] a-unet InjectChannelsItem.
     """
 
+    channels: int
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, context: Array) -> Array:
-        c = x.shape[-1]
-        ctx = jnp.swapaxes(context, 1, 2).astype(x.dtype)  # [B, len_d, ctx_ch]
+        ctx = jnp.swapaxes(context, 1, 2).astype(x.dtype)  # [B, len_d, ctx]
         assert ctx.shape[1] == x.shape[1], (
             f"context length {ctx.shape[1]} != feature length {x.shape[1]} "
             "at this depth")
         h = jnp.concatenate([x, ctx], axis=-1)
-        return x + nn.Dense(c, dtype=self.dtype,
+        return x + nn.Dense(self.channels, dtype=self.dtype,
                             param_dtype=self.param_dtype)(h)
 
 
 class Downsample(nn.Module):
-    """Patch downsample: [B, L, Cin] -> [B, L/f, f·Cin] -> Dense(features).
-
-    A pure MXU matmul; equivalent receptive geometry to a stride-f kernel-f
-    conv (the reference's strided-conv downsample), chosen for TPU tiling.
+    """Patch downsample on a folded stream: regroup the contiguous (t, c)
+    stream into frames of `factor` positions (pure reshape), apply one
+    block-diagonal Dense, refold for the output width. Pure MXU matmul;
+    equivalent receptive geometry to a stride-f kernel-f conv.
     """
 
+    in_channels: int
     features: int
     factor: int
+    in_fold: int = 1
+    out_fold: int = 1
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        b, l, c = x.shape
-        f = self.factor
-        assert l % f == 0, f"length {l} not divisible by factor {f}"
-        if f > 1:
-            x = x.reshape(b, l // f, f * c)
-        return nn.Dense(self.features, dtype=self.dtype,
-                        param_dtype=self.param_dtype)(x)
+        c, d = self.in_channels, self.factor
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (d * c, self.features), self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       self.param_dtype)
+        if self.dtype is not None:
+            x, w, b = x.astype(self.dtype), w.astype(self.dtype), b.astype(
+                self.dtype)
+        bsz = x.shape[0]
+        # Regroup stream to frames of lcm(in_fold, d) positions so the
+        # block-diagonal dense consumes whole d-groups.
+        f_tmp = math.lcm(self.in_fold, d)
+        x = x.reshape(bsz, -1, f_tmp * c)
+        blocks = f_tmp // d
+        y = x @ fold_dense_kernel(w, blocks) + _tile(b, blocks)
+        # y: [B, L/d / blocks, blocks·features] -> refold for output.
+        y = refold(y, blocks, self.features, self.out_fold)
+        return y
 
 
 class Upsample(nn.Module):
-    """Patch upsample: Dense(f·features) -> [B, L·f, features]."""
+    """Patch upsample: block-diagonal Dense(C -> factor·features) over the
+    folded stream, then refold (pure reshape)."""
 
+    in_channels: int
     features: int
     factor: int
+    in_fold: int = 1
+    out_fold: int = 1
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        b, l, _ = x.shape
-        f = self.factor
-        x = nn.Dense(f * self.features, dtype=self.dtype,
-                     param_dtype=self.param_dtype)(x)
-        if f > 1:
-            x = x.reshape(b, l * f, self.features)
-        return x
+        c, d = self.in_channels, self.factor
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (c, d * self.features), self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (d * self.features,),
+                       self.param_dtype)
+        if self.dtype is not None:
+            x, w, b = x.astype(self.dtype), w.astype(self.dtype), b.astype(
+                self.dtype)
+        y = x @ fold_dense_kernel(w, self.in_fold) + _tile(b, self.in_fold)
+        # y is folded with in_fold·d positions of `features` channels.
+        return refold(y, self.in_fold * d, self.features, self.out_fold)
 
 
 class SkipCat(nn.Module):
     """Skip merge by channel concat + Dense back to width
-    (reference components.py:99 SkipCat, [reconstructed])."""
+    (reference components.py:99 SkipCat, [reconstructed]). Fold-aware: the
+    concat is per-position, so the folded weight stacks two block-diagonal
+    halves."""
 
+    channels: int
+    fold: int = 1
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, skip: Array,
                  features: Optional[Array] = None) -> Array:
-        c = x.shape[-1]
-        return nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype)(
-            jnp.concatenate([x, skip], axis=-1))
+        c, f = self.channels, self.fold
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (2 * c, c), self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        if self.dtype is not None:
+            x, skip = x.astype(self.dtype), skip.astype(self.dtype)
+            w, b = w.astype(self.dtype), b.astype(self.dtype)
+        w_x = fold_dense_kernel(w[:c], f)
+        w_s = fold_dense_kernel(w[c:], f)
+        wf = jnp.concatenate([w_x, w_s], axis=0)  # [2·f·C, f·C]
+        h = jnp.concatenate([x, skip], axis=-1)
+        return h @ wf + _tile(b, f)
 
 
 class SkipModulate(nn.Module):
@@ -189,22 +286,25 @@ class SkipModulate(nn.Module):
     x + skip·(1 + gate(features)), gate zero-initialized
     (reference components.py:99 SkipModulate, [reconstructed])."""
 
+    channels: int
+    fold: int = 1
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, skip: Array, features: Array) -> Array:
-        c = x.shape[-1]
-        gate = nn.Dense(c, kernel_init=nn.initializers.zeros,
+        gate = nn.Dense(self.channels, kernel_init=nn.initializers.zeros,
                         dtype=self.dtype, param_dtype=self.param_dtype)(
             nn.silu(features.astype(x.dtype)))
-        return x + skip * (1.0 + gate[:, None, :])
+        gate = _tile_batched(gate, self.fold)[:, None, :]
+        return x + skip.astype(x.dtype) * (1.0 + gate)
 
 
 class ItemStack(nn.Module):
     """One level's repeated item sequence (reference components.py:83-98):
     ([Resnet][+Mod][+Inject if ctx][+Attn]·a[+CrossAttn]·c) × items."""
 
+    channels: int
     items: int
     attentions: int
     cross_attentions: int
@@ -213,6 +313,7 @@ class ItemStack(nn.Module):
     resnet_groups: int
     attention_heads: int
     attention_features: int
+    fold: int = 1
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -220,21 +321,33 @@ class ItemStack(nn.Module):
     def __call__(self, x: Array, features: Optional[Array],
                  embedding: Optional[Array],
                  context: Optional[Array]) -> Array:
+        if self.fold > 1:
+            assert self.attentions == 0 and self.cross_attentions == 0, (
+                "attention requires channels >= 128 (unfolded level); put "
+                "attention at deeper levels as the reference configs do")
+            assert not self.has_context, (
+                "context injection at narrow (folded) levels is unsupported; "
+                "inject at a level with >= 128 channels")
         for _ in range(self.items):
-            x = ResnetItem(groups=self.resnet_groups, dtype=self.dtype,
+            x = ResnetItem(channels=self.channels, fold=self.fold,
+                           groups=self.resnet_groups, dtype=self.dtype,
                            param_dtype=self.param_dtype)(x)
             if self.use_modulation:
                 assert features is not None, (
                     "modulation requires features (enable time conditioning "
                     "or pass features=)")
-                x = ModulationItem(groups=self.resnet_groups, dtype=self.dtype,
+                x = ModulationItem(channels=self.channels, fold=self.fold,
+                                   groups=self.resnet_groups,
+                                   dtype=self.dtype,
                                    param_dtype=self.param_dtype)(x, features)
             if self.has_context:
                 assert context is not None, (
                     "this depth was built with context_channels > 0; pass "
                     "channels=[...] with a tensor at this depth")
-                x = InjectChannelsItem(dtype=self.dtype,
-                                       param_dtype=self.param_dtype)(x, context)
+                x = InjectChannelsItem(channels=self.channels,
+                                       dtype=self.dtype,
+                                       param_dtype=self.param_dtype)(
+                    x, context)
             for _ in range(self.attentions):
                 x = AttentionItem(
                     heads=self.attention_heads,
@@ -260,7 +373,9 @@ class XUNet(nn.Module):
       inner: next level (innermost level has no skip)
       up:    SkipMerge(inner, skip, features) ; up-items ; Upsample(factor_i)
 
-    I/O is [B, C, T] (reference layout); internally channels-last.
+    I/O is [B, C, T] (reference layout); internally channels-last with
+    lane folding at narrow levels (`lane_fold=False` disables folding —
+    same math, used for correctness A/B tests).
     """
 
     in_channels: int
@@ -275,8 +390,30 @@ class XUNet(nn.Module):
     attention_features: int = 64
     resnet_groups: int = 8
     use_modulation: bool = True
+    lane_fold: bool = True
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+
+    def _folds(self, length: int) -> Tuple[int, ...]:
+        """Fold per level: limited by channel width AND by the largest
+        power of two dividing the feature length at that level."""
+        if not self.lane_fold:
+            return tuple(1 for _ in self.channels)
+
+        def pow2_div(n: int) -> int:
+            return n & -n if n > 0 else 1
+
+        folds = []
+        level_len = length
+        for i, c in enumerate(self.channels):
+            level_len //= self.factors[i]
+            f = min(fold_factor(c), pow2_div(level_len))
+            # A level with context injection or attention must be unfolded.
+            if (self.context_channels[i] > 0 or self.attentions[i] > 0
+                    or self.cross_attentions[i] > 0):
+                f = 1
+            folds.append(f)
+        return tuple(folds)
 
     @nn.compact
     def __call__(
@@ -296,10 +433,15 @@ class XUNet(nn.Module):
         # channels=[None]*inject_depth+[latent] (models.py:103).
         contexts = list(contexts) + [None] * (num_levels - len(contexts))
 
+        length = x.shape[-1]
+        folds = self._folds(length)
+        in_fold = min(fold_factor(self.in_channels),
+                      length & -length) if self.lane_fold else 1
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
         def stack(i: int, name: str) -> ItemStack:
             return ItemStack(
+                channels=self.channels[i],
                 items=self.items[i],
                 attentions=self.attentions[i],
                 cross_attentions=self.cross_attentions[i],
@@ -308,37 +450,68 @@ class XUNet(nn.Module):
                 resnet_groups=self.resnet_groups,
                 attention_heads=self.attention_heads,
                 attention_features=self.attention_features,
+                fold=folds[i],
                 name=name, **common)
 
         h = jnp.swapaxes(x, 1, 2)  # [B, T, C] channels-last
         if self.dtype is not None:
             h = h.astype(self.dtype)
+        h = fold(h, in_fold)
 
         skips = []
+        prev_c, prev_f = self.in_channels, in_fold
         for i in range(num_levels):
-            h = Downsample(self.channels[i], self.factors[i],
-                           name=f"down_{i}", **common)(h)
-            h = stack(i, f"items_down_{i}")(h, features, embedding, contexts[i])
+            with jax.named_scope(f"unet_down_{i}"):
+                h = Downsample(in_channels=prev_c,
+                               features=self.channels[i],
+                               factor=self.factors[i],
+                               in_fold=prev_f, out_fold=folds[i],
+                               name=f"down_{i}", **common)(h)
+                h = stack(i, f"items_down_{i}")(
+                    h, features, embedding, contexts[i])
+            prev_c, prev_f = self.channels[i], folds[i]
             if i < num_levels - 1:
                 skips.append(h)
 
         for i in reversed(range(num_levels)):
-            if i < num_levels - 1:
-                skip = skips.pop()
-                if self.use_modulation:
-                    h = SkipModulate(name=f"skip_{i}", **common)(
-                        h, skip, features)
-                else:
-                    h = SkipCat(name=f"skip_{i}", **common)(h, skip)
-            h = stack(i, f"items_up_{i}")(h, features, embedding, contexts[i])
-            out_ch = self.channels[i - 1] if i > 0 else self.channels[0]
-            h = Upsample(out_ch, self.factors[i], name=f"up_{i}", **common)(h)
+            with jax.named_scope(f"unet_up_{i}"):
+                if i < num_levels - 1:
+                    skip = skips.pop()
+                    if self.use_modulation:
+                        h = SkipModulate(channels=self.channels[i],
+                                         fold=folds[i],
+                                         name=f"skip_{i}", **common)(
+                            h, skip, features)
+                    else:
+                        h = SkipCat(channels=self.channels[i], fold=folds[i],
+                                    name=f"skip_{i}", **common)(h, skip)
+                h = stack(i, f"items_up_{i}")(
+                    h, features, embedding, contexts[i])
+                out_c = self.channels[i - 1] if i > 0 else self.channels[0]
+                out_f = folds[i - 1] if i > 0 else folds[0]
+                h = Upsample(in_channels=self.channels[i], features=out_c,
+                             factor=self.factors[i],
+                             in_fold=folds[i], out_fold=out_f,
+                             name=f"up_{i}", **common)(h)
 
-        # Final projection to out_channels.
-        h = nn.GroupNorm(num_groups=self.resnet_groups, **common)(h)
-        h = nn.silu(h)
-        h = Conv1d(self.out_channels, kernel_size=3, padding=1,
-                   name="proj_out", **common)(h)
+        # Final projection to out_channels (folded conv3, then unfold).
+        with jax.named_scope("unet_out"):
+            c0, f0 = self.channels[0], folds[0]
+            gn_s = self.param("out_gn_scale", nn.initializers.ones, (c0,),
+                              self.param_dtype)
+            gn_b = self.param("out_gn_bias", nn.initializers.zeros, (c0,),
+                              self.param_dtype)
+            k = self.param("out_kernel", nn.initializers.lecun_normal(),
+                           (3, c0, self.out_channels), self.param_dtype)
+            b = self.param("out_bias", nn.initializers.zeros,
+                           (self.out_channels,), self.param_dtype)
+            cast = (lambda a: a.astype(self.dtype)) if self.dtype else (
+                lambda a: a)
+            h = group_norm(h, f0, self.resnet_groups, cast(gn_s), cast(gn_b))
+            h = nn.silu(h)
+            h = conv1d(h, cast(fold_conv3_kernel(k, f0)), padding=1) + _tile(
+                cast(b), f0)
+            h = unfold(h, f0, self.out_channels)
         return jnp.swapaxes(h, 1, 2).astype(x.dtype)  # back to [B, C, T]
 
 
