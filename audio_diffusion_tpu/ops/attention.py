@@ -42,14 +42,18 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, context: Optional[Array] = None) -> Array:
-        context = x if context is None else context
         inner = self.heads * self.head_features
         dense = lambda feats, name: nn.DenseGeneral(  # noqa: E731
             feats, use_bias=False, dtype=self.dtype,
             param_dtype=self.param_dtype, name=name)
-        q = dense(inner, "to_q")(x)
-        k = dense(inner, "to_k")(context)
-        v = dense(inner, "to_v")(context)
+        if context is None:
+            # Self-attention: one fused QKV projection (fewer dispatches).
+            qkv = dense(3 * inner, "to_qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = dense(inner, "to_q")(x)
+            k = dense(inner, "to_k")(context)
+            v = dense(inner, "to_v")(context)
 
         def split(t):
             b, s, _ = t.shape

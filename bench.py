@@ -87,6 +87,29 @@ def main():
           f"{1000*elapsed/(reps*NUM_STEPS):.2f} ms/step, "
           f"net forward ≈ {flops_per_step/1e9:.1f} GFLOP",
           file=sys.stderr)
+
+    # Secondary diagnostic: train step (loss+grad+adam) samples/sec.
+    import optax
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(model.params)
+
+    @jax.jit
+    def train_step(params, opt_state, key, x):
+        loss, grads = jax.value_and_grad(model.loss)(params, key, x)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    k = jax.random.key(1)
+    p, s, l = train_step(model.params, opt_state, k, noise)
+    _ = float(l)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        p, s, l = train_step(p, s, k, noise)
+    _ = float(l)
+    train_dt = (time.perf_counter() - t0) / reps
+    print(f"diag: train step {train_dt*1000:.1f} ms "
+          f"({BATCH/train_dt:.2f} samples/s at 2^18 stereo)",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "vsampler_steps_per_sec_2e18_stereo_9level",
         "value": round(steps_per_sec, 3),
