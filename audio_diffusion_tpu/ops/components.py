@@ -56,6 +56,7 @@ def UNetV0(
     out_channels: Optional[int] = None,
     text_encoder: Optional[Any] = None,
     lane_fold: bool = True,
+    use_pallas: bool = False,
     dtype: Optional[Any] = None,
     param_dtype: Any = jnp.float32,
 ) -> Net:
@@ -96,6 +97,7 @@ def UNetV0(
         resnet_groups=resnet_groups,
         use_modulation=use_modulation,
         lane_fold=lane_fold,
+        use_pallas=use_pallas,
         dtype=dtype,
         param_dtype=param_dtype,
     )

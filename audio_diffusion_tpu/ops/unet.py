@@ -165,6 +165,94 @@ def _tile_batched(v: Array, f: int) -> Array:
     return jnp.tile(v, (1, f)) if f > 1 else v
 
 
+class ResnetModItem(nn.Module):
+    """Resnet item + optional ModulationItem epilogue as ONE unit, with an
+    optional fused Pallas path (`use_pallas`) that evaluates the whole item
+    in a single kernel (ops/kernels/resnet.py). Parameter tree is identical
+    in both modes; the lax path is the definition of the math.
+    """
+
+    channels: int
+    fold: int = 1
+    groups: int = 8
+    use_modulation: bool = True
+    use_pallas: bool = False
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, features: Optional[Array] = None) -> Array:
+        c, f = self.channels, self.fold
+        p = lambda name, shape, init: self.param(  # noqa: E731
+            name, init, shape, self.param_dtype)
+        gn1_s = p("gn1_scale", (c,), nn.initializers.ones)
+        gn1_b = p("gn1_bias", (c,), nn.initializers.zeros)
+        k1 = p("conv1_kernel", (3, c, c), nn.initializers.lecun_normal())
+        b1 = p("conv1_bias", (c,), nn.initializers.zeros)
+        gn2_s = p("gn2_scale", (c,), nn.initializers.ones)
+        gn2_b = p("gn2_bias", (c,), nn.initializers.zeros)
+        k2 = p("conv2_kernel", (3, c, c), nn.initializers.lecun_normal())
+        b2 = p("conv2_bias", (c,), nn.initializers.zeros)
+        cast = (lambda a: a.astype(self.dtype)) if self.dtype else (lambda a: a)
+
+        mods = modb = mg_s = mg_b = None
+        if self.use_modulation:
+            assert features is not None
+            mg_s = p("mod_gn_scale", (c,), nn.initializers.ones)
+            mg_b = p("mod_gn_bias", (c,), nn.initializers.zeros)
+            mod = nn.Dense(2 * c, kernel_init=nn.initializers.zeros,
+                           dtype=self.dtype, param_dtype=self.param_dtype,
+                           name="mod_dense")(
+                nn.silu(features.astype(x.dtype)))
+            scale, shift = jnp.split(mod, 2, axis=-1)
+            mods = _tile_batched(scale, f)
+            modb = _tile_batched(shift, f)
+
+        # The fused kernel keeps the whole [Lf, W] activation plus both conv
+        # weight banks VMEM-resident; guard statically on the estimated
+        # footprint and fall back to the lax path when it won't fit.
+        use_pallas = self.use_pallas
+        if use_pallas:
+            lf, w_ = x.shape[1], x.shape[2]
+            esize = 2 if self.dtype == jnp.bfloat16 else 4
+            vmem_est = lf * w_ * 4 * 3 + 2 * 3 * w_ * w_ * esize
+            use_pallas = vmem_est < 14 * 1024 * 1024
+
+        if use_pallas:
+            from .kernels.resnet import fused_resnet_item, group_map
+            w = f * c
+            m = jnp.asarray(group_map(f, c, self.groups), jnp.float32)
+            b = x.shape[0]
+            zeros = jnp.zeros((b, w), x.dtype)
+            return fused_resnet_item(
+                x,
+                _tile(cast(gn1_s), f)[None], _tile(cast(gn1_b), f)[None],
+                cast(fold_conv3_kernel(k1, f)), _tile(cast(b1), f)[None],
+                _tile(cast(gn2_s), f)[None], _tile(cast(gn2_b), f)[None],
+                cast(fold_conv3_kernel(k2, f)), _tile(cast(b2), f)[None],
+                m, m.T,
+                mods if mods is not None else zeros,
+                modb if modb is not None else zeros,
+                _tile(cast(mg_s), f)[None] if mg_s is not None else zeros[:1],
+                _tile(cast(mg_b), f)[None] if mg_b is not None else zeros[:1],
+                1e-5, self.use_modulation, False)
+
+        # lax path — the definition of the math.
+        h = group_norm(x, f, self.groups, cast(gn1_s), cast(gn1_b))
+        h = nn.silu(h)
+        h = conv1d(h, cast(fold_conv3_kernel(k1, f)), padding=1) + _tile(
+            cast(b1), f)
+        h = group_norm(h, f, self.groups, cast(gn2_s), cast(gn2_b))
+        h = nn.silu(h)
+        h = conv1d(h, cast(fold_conv3_kernel(k2, f)), padding=1) + _tile(
+            cast(b2), f)
+        y = x + h
+        if self.use_modulation:
+            hm = group_norm(y, f, self.groups, cast(mg_s), cast(mg_b))
+            y = y + hm * (1.0 + mods[:, None, :]) + modb[:, None, :]
+        return y
+
+
 class InjectChannelsItem(nn.Module):
     """Concatenate depth-matched context channels, project back to width.
 
@@ -314,6 +402,7 @@ class ItemStack(nn.Module):
     attention_heads: int
     attention_features: int
     fold: int = 1
+    use_pallas: bool = False
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -328,18 +417,17 @@ class ItemStack(nn.Module):
             assert not self.has_context, (
                 "context injection at narrow (folded) levels is unsupported; "
                 "inject at a level with >= 128 channels")
+        if self.use_modulation:
+            assert features is not None, (
+                "modulation requires features (enable time conditioning "
+                "or pass features=)")
         for _ in range(self.items):
-            x = ResnetItem(channels=self.channels, fold=self.fold,
-                           groups=self.resnet_groups, dtype=self.dtype,
-                           param_dtype=self.param_dtype)(x)
-            if self.use_modulation:
-                assert features is not None, (
-                    "modulation requires features (enable time conditioning "
-                    "or pass features=)")
-                x = ModulationItem(channels=self.channels, fold=self.fold,
-                                   groups=self.resnet_groups,
-                                   dtype=self.dtype,
-                                   param_dtype=self.param_dtype)(x, features)
+            x = ResnetModItem(channels=self.channels, fold=self.fold,
+                              groups=self.resnet_groups,
+                              use_modulation=self.use_modulation,
+                              use_pallas=self.use_pallas,
+                              dtype=self.dtype,
+                              param_dtype=self.param_dtype)(x, features)
             if self.has_context:
                 assert context is not None, (
                     "this depth was built with context_channels > 0; pass "
@@ -391,6 +479,7 @@ class XUNet(nn.Module):
     resnet_groups: int = 8
     use_modulation: bool = True
     lane_fold: bool = True
+    use_pallas: bool = False
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -451,6 +540,7 @@ class XUNet(nn.Module):
                 attention_heads=self.attention_heads,
                 attention_features=self.attention_features,
                 fold=folds[i],
+                use_pallas=self.use_pallas,
                 name=name, **common)
 
         h = jnp.swapaxes(x, 1, 2)  # [B, T, C] channels-last
