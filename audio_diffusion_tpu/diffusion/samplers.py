@@ -63,7 +63,8 @@ class VSampler(Sampler):
         self.schedule = schedule or LinearSchedule()
 
     def sample(self, params: Dict, x_noisy: Array, num_steps: int,
-               show_progress: bool = False, **kwargs) -> Array:
+               show_progress: bool = False, unroll: int = 1,
+               **kwargs) -> Array:
         b = x_noisy.shape[0]
         sigmas = self.schedule(num_steps + 1).astype(x_noisy.dtype)  # [s+1]
         alphas, betas = alpha_beta(sigmas)
@@ -79,7 +80,9 @@ class VSampler(Sampler):
             return x_next, None
 
         xs = (sigmas[:-1], alphas[:-1], betas[:-1], alphas[1:], betas[1:])
-        x, _ = lax.scan(step, x_noisy, xs)
+        # unroll > 1 lets XLA overlap adjacent denoising steps (the per-
+        # iteration while-loop overhead is measurable at batch 1).
+        x, _ = lax.scan(step, x_noisy, xs, unroll=unroll)
         return x
 
 

@@ -44,7 +44,7 @@ def main():
     model.initialize(example)
 
     def sample(params, noise):
-        return model.sample_fn(params, noise, num_steps=NUM_STEPS)
+        return model.sample_fn(params, noise, num_steps=NUM_STEPS, unroll=5)
 
     noise = jax.random.normal(jax.random.key(0), (BATCH, 2, LENGTH),
                               jnp.float32)
