@@ -66,10 +66,7 @@ def UNetV0(
     (`channels, factors, items, attentions, cross_attentions,
     context_channels` must be equal length).
     """
-    if dim != 1:
-        raise NotImplementedError(
-            "UNetV0 TPU build currently supports dim=1 (audio); the "
-            "reference README uses dim=1 throughout.")
+    assert dim in (1, 2), f"UNetV0 supports dim 1 (audio) or 2 (images), got {dim}"
 
     num_layers = len(channels)
     attentions = default(attentions, [0] * num_layers)
@@ -83,7 +80,7 @@ def UNetV0(
 
     out_channels = default(out_channels, in_channels)
 
-    module: nn.Module = XUNet(
+    unet_kwargs = dict(
         in_channels=in_channels,
         out_channels=out_channels,
         channels=tuple(channels),
@@ -96,11 +93,15 @@ def UNetV0(
         attention_features=default(attention_features, 64),
         resnet_groups=resnet_groups,
         use_modulation=use_modulation,
-        lane_fold=lane_fold,
-        use_pallas=use_pallas,
         dtype=dtype,
         param_dtype=param_dtype,
     )
+    if dim == 1:
+        module: nn.Module = XUNet(
+            lane_fold=lane_fold, use_pallas=use_pallas, **unet_kwargs)
+    else:
+        from .unet2d import XUNet2d
+        module = XUNet2d(**unet_kwargs)
 
     if use_embedding_cfg:
         assert exists(embedding_max_length), (
