@@ -57,6 +57,7 @@ def UNetV0(
     text_encoder: Optional[Any] = None,
     lane_fold: bool = True,
     use_pallas: bool = False,
+    use_remat: bool = False,
     dtype: Optional[Any] = None,
     param_dtype: Any = jnp.float32,
 ) -> Net:
@@ -98,7 +99,8 @@ def UNetV0(
     )
     if dim == 1:
         module: nn.Module = XUNet(
-            lane_fold=lane_fold, use_pallas=use_pallas, **unet_kwargs)
+            lane_fold=lane_fold, use_pallas=use_pallas, use_remat=use_remat,
+            **unet_kwargs)
     else:
         from .unet2d import XUNet2d
         module = XUNet2d(**unet_kwargs)

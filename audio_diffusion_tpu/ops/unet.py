@@ -480,6 +480,10 @@ class XUNet(nn.Module):
     use_modulation: bool = True
     lane_fold: bool = True
     use_pallas: bool = False
+    # Rematerialize item stacks in the backward pass (gradient checkpointing)
+    # — trades FLOPs for activation memory so 2^18-sample training fits
+    # larger batches per chip.
+    use_remat: bool = False
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -528,8 +532,10 @@ class XUNet(nn.Module):
                       length & -length) if self.lane_fold else 1
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
-        def stack(i: int, name: str) -> ItemStack:
-            return ItemStack(
+        stack_cls = nn.remat(ItemStack) if self.use_remat else ItemStack
+
+        def stack(i: int, name: str):
+            return stack_cls(
                 channels=self.channels[i],
                 items=self.items[i],
                 attentions=self.attentions[i],

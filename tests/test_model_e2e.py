@@ -79,3 +79,22 @@ def test_features_kwarg_composes():
     features = jax.random.normal(jax.random.key(6), (2, 64))
     loss = model(audio, features=features)
     assert jnp.isfinite(loss)
+
+
+def test_remat_matches_no_remat():
+    """use_remat changes memory, not math: same params -> same loss/grads."""
+    cfg = dict(TINY)
+    model = DiffusionModel(**cfg)
+    model_r = DiffusionModel(use_remat=True, **cfg)
+    audio = jax.random.normal(jax.random.key(7), (1, 2, LENGTH))
+    key = jax.random.key(8)
+    model.initialize(audio, key=jax.random.key(9))
+    model_r.params = model.params  # same tree structure
+    l1 = float(model.loss(model.params, key, audio))
+    l2 = float(model_r.loss(model_r.params, key, audio))
+    assert abs(l1 - l2) < 1e-6
+    g1 = jax.grad(model.loss)(model.params, key, audio)
+    g2 = jax.grad(model_r.loss)(model_r.params, key, audio)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4),
+        g1, g2)
