@@ -26,6 +26,9 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     rng: Array
+    # Exponential moving average of params (standard for diffusion-model
+    # sampling quality); None when disabled.
+    ema: Any = None
 
 
 def make_train_step(
@@ -33,6 +36,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    ema_decay: Optional[float] = None,
 ) -> Tuple[Callable, Callable]:
     """Build (init_state, train_step).
 
@@ -50,6 +54,8 @@ def make_train_step(
             params=params,
             opt_state=optimizer.init(params),
             rng=rng,
+            ema=jax.tree_util.tree_map(jnp.copy, params)
+            if ema_decay is not None else None,
         )
         if mesh is not None:
             pspecs = param_sharding_rules(params, mesh)
@@ -68,11 +74,17 @@ def make_train_step(
                 return jax.device_put(x, NamedSharding(mesh, spec))
 
             opt_sharded = jax.tree_util.tree_map(put_opt, state.opt_state)
+            ema_sharded = None
+            if state.ema is not None:
+                ema_sharded = jax.tree_util.tree_map(
+                    lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                    state.ema, pspecs)
             state = TrainState(
                 step=jax.device_put(state.step, NamedSharding(mesh, P())),
                 params=params_sharded,
                 opt_state=opt_sharded,
                 rng=jax.device_put(state.rng, NamedSharding(mesh, P())),
+                ema=ema_sharded,
             )
         return state
 
@@ -83,10 +95,16 @@ def make_train_step(
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        ema = state.ema
+        if ema_decay is not None and ema is not None:
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p.astype(e.dtype)
+                * (1.0 - ema_decay), ema, params)
         grad_norm = optax.global_norm(grads)
         metrics = {"loss": loss, "grad_norm": grad_norm,
                    "step": state.step + 1}
-        return TrainState(state.step + 1, params, opt_state, rng), metrics
+        return TrainState(state.step + 1, params, opt_state, rng,
+                          ema), metrics
 
     if mesh is not None:
         # State shardings are inferred from input placement (init_state);

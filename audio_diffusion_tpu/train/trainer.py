@@ -32,6 +32,9 @@ class TrainerConfig:
     learning_rate: float = 1e-4
     weight_decay: float = 0.0
     max_grad_norm: Optional[float] = None
+    # EMA of params for sampling quality (None disables). The EMA tree is
+    # checkpointed with the rest of the state; use `trainer.ema_params`.
+    ema_decay: Optional[float] = None
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 1000
     max_checkpoints: int = 3
@@ -72,7 +75,8 @@ class Trainer:
         self.optimizer = optimizer
 
         self._init_state_fn, self.train_step = make_train_step(
-            model.loss, optimizer, mesh=mesh)
+            model.loss, optimizer, mesh=mesh,
+            ema_decay=self.config.ema_decay)
         self.state: Optional[TrainState] = None
 
         self._ckpt_mgr = None
@@ -125,6 +129,13 @@ class Trainer:
 
     def _state_as_pytree(self) -> Dict[str, Any]:
         return dict(self.state._asdict())
+
+    @property
+    def ema_params(self):
+        """EMA parameter tree (falls back to live params if EMA disabled)."""
+        assert self.state is not None
+        return self.state.ema if self.state.ema is not None else (
+            self.state.params)
 
     # ----------------------------------------------------------------- fit
     def fit(self, batches: Iterable, num_steps: int, **cond) -> Dict:

@@ -84,3 +84,20 @@ def test_trainer_with_mesh():
                       log_fn=lambda s: None)
     metrics = trainer.fit(_batches(), num_steps=3)
     assert jnp.isfinite(metrics["loss"])
+
+
+def test_ema():
+    model = DiffusionModel(**TINY)
+    model.initialize(next(iter(_batches())))
+    trainer = Trainer(model, TrainerConfig(learning_rate=1e-3,
+                                           ema_decay=0.9, log_every=100),
+                      log_fn=lambda s: None)
+    trainer.fit(_batches(), num_steps=10)
+    ema = trainer.ema_params
+    # EMA lags the live params but moves from init.
+    import numpy as np
+    live = jax.tree_util.tree_leaves(trainer.state.params)
+    emal = jax.tree_util.tree_leaves(ema)
+    diffs = [float(jnp.max(jnp.abs(a - b))) for a, b in zip(live, emal)]
+    assert max(diffs) > 0  # not identical to live params
+    assert all(jnp.all(jnp.isfinite(e)) for e in emal)
