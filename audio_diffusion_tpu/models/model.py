@@ -86,6 +86,32 @@ class DiffusionModel:
             kwargs["embedding"] = jnp.asarray(encoder(list(text)))
         return kwargs
 
+    # ------------------------------------------------------------- persist
+    def save(self, path) -> None:
+        """Save the parameter pytree (orbax). The torch analog of
+        `state_dict()` persistence — the reference relies on nn.Module
+        state_dict (SURVEY.md §5.4)."""
+        import orbax.checkpoint as ocp
+        from pathlib import Path
+
+        assert self.params is not None, "no params to save"
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(Path(path).absolute(), self.params)
+        ckptr.wait_until_finished()
+
+    def load(self, path) -> Dict:
+        """Restore params saved by :meth:`save`. The model must be
+        initialized first (to provide the tree structure/shapes)."""
+        import orbax.checkpoint as ocp
+        from pathlib import Path
+
+        assert self.params is not None, (
+            "initialize the model first (the checkpoint is restored against "
+            "the existing tree structure)")
+        ckptr = ocp.StandardCheckpointer()
+        self.params = ckptr.restore(Path(path).absolute(), target=self.params)
+        return self.params
+
     # ------------------------------------------------------------------ init
     def init_params(self, key: Array, x: Array, **kwargs) -> Dict:
         """Build the full parameter pytree from an example batch."""

@@ -98,3 +98,22 @@ def test_remat_matches_no_remat():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4),
         g1, g2)
+
+
+def test_model_save_load(tmp_path):
+    model = DiffusionModel(**TINY)
+    audio = jax.random.normal(jax.random.key(10), (1, 2, LENGTH))
+    _ = model(audio)
+    saved = jax.tree_util.tree_map(np.array, model.params)
+    model.save(tmp_path / "ckpt")
+
+    model2 = DiffusionModel(**TINY)
+    _ = model2(audio)  # different init
+    model2.load(tmp_path / "ckpt")
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, np.array(b)),
+        saved, model2.params)
+    # Same noise -> identical samples from both models now.
+    noise = jax.random.normal(jax.random.key(11), (1, 2, LENGTH))
+    np.testing.assert_allclose(model.sample(noise, num_steps=2),
+                               model2.sample(noise, num_steps=2), atol=0)
