@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax import Array, lax
 
 from ..ops.net import Net
-from .core import alpha_beta, extend_dim
+from .core import alpha_beta
 from .schedules import LinearSchedule, Schedule
 from .vdiffusion import VDiffusion
 

@@ -7,7 +7,7 @@ Reference behavior: diffusion.py:68-95 (VDiffusion) and diffusion.py:98-130
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ CPU in tests/test_dsp.py.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -27,7 +27,6 @@ from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import Array
 
 from ..diffusion import VDiffusion, VSampler, mse_loss

@@ -7,9 +7,8 @@ SURVEY.md §3.4).
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Sequence
+from typing import Callable, Dict, Optional, Sequence
 
-import flax.linen as nn
 import jax
 import jax.numpy as jnp
 from jax import Array

@@ -8,7 +8,7 @@ bucketed/overlapped by the compiler over ICI (BASELINE.json north star).
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
