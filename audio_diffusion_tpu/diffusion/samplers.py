@@ -130,7 +130,8 @@ class ARVSampler(Sampler):
         return jnp.concatenate([jnp.zeros_like(sigmas), sigmas], axis=-1)
 
     def sample_loop(self, params: Dict, current: Array, sigmas: Array,
-                    show_progress: bool = False, **kwargs) -> Array:
+                    show_progress: bool = False, unroll: int = 1,
+                    **kwargs) -> Array:
         """Denoise `current` along a per-sample σ trajectory [steps+1,b,1,t].
 
         Reference: diffusion.py:223-238 (σ as an input channel per step).
@@ -146,7 +147,7 @@ class ARVSampler(Sampler):
             return a1 * x_pred + b1 * noise_pred, None
 
         xs = (sigmas[:-1], alphas[:-1], betas[:-1], alphas[1:], betas[1:])
-        x, _ = lax.scan(step, current, xs)
+        x, _ = lax.scan(step, current, xs, unroll=unroll)
         return x
 
     def sample_start(self, params: Dict, key: Array, num_items: int,

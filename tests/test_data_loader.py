@@ -91,3 +91,26 @@ def test_dataset_rejects_short_files(tmp_path):
     _write_wav(tmp_path / "s.wav", np.zeros((2, 10), np.float32))
     with pytest.raises(ValueError, match="no usable files"):
         AudioDataset(tmp_path, crop_frames=100, batch_size=1)
+
+
+def test_read_pcm24(tmp_path):
+    """24-bit PCM path of the native decoder (written manually: the wave
+    module supports sampwidth=3 for writing raw frames)."""
+    rng = np.random.default_rng(3)
+    data = np.clip(rng.standard_normal((2, 300)) * 0.5, -0.99,
+                   0.99).astype(np.float32)
+    p = tmp_path / "p24.wav"
+    pcm = np.clip(data.T.reshape(-1) * 8388608, -8388608,
+                  8388607).astype(np.int32)
+    raw = bytearray()
+    for v in pcm:
+        raw += int(v).to_bytes(3, "little", signed=True)
+    with wave.open(str(p), "wb") as f:
+        f.setnchannels(2)
+        f.setframerate(8000)
+        f.setsampwidth(3)
+        f.writeframes(bytes(raw))
+    c, sr, n = wav_probe(p)
+    assert (c, sr, n) == (2, 8000, 300)
+    out = wav_read(p)
+    np.testing.assert_allclose(out, data, atol=1.01 / 8388608)
