@@ -1,3 +1,4 @@
+from .inference import sample_length_sharded
 from .mesh import create_mesh, param_sharding_rules, shard_batch, shard_params
 from .train_step import make_train_step
 
@@ -7,4 +8,5 @@ __all__ = [
     "shard_params",
     "param_sharding_rules",
     "make_train_step",
+    "sample_length_sharded",
 ]

@@ -101,3 +101,20 @@ def test_sampling_under_dp_mesh():
     out = model.sample(noise_sharded, num_steps=2)
     assert out.shape == (8, 2, LENGTH)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_length_sharded_sampling_matches_unsharded():
+    """Sequence-parallel sampling (length axis over the mesh) is bit-
+    equivalent to single-device sampling — XLA inserts conv halos/attention
+    gathers."""
+    from audio_diffusion_tpu.parallel import sample_length_sharded
+
+    model = DiffusionModel(**TINY)
+    noise = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (1, 2, LENGTH)).astype(np.float32))
+    model.initialize(noise)
+    ref = model.sample(noise, num_steps=3)
+    mesh = create_mesh()  # 8-way
+    out = sample_length_sharded(model, noise, num_steps=3, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
