@@ -103,13 +103,28 @@ class AudioDataset:
         channels: Optional[int] = None,
         seed: int = 0,
         prefetch: int = 2,
+        host_id: Optional[int] = None,
+        num_hosts: Optional[int] = None,
     ):
+        """host_id/num_hosts: multi-host sharding — each host reads a
+        disjoint stride of the file list (defaults to jax.process_index/
+        process_count when either is given as None but the other is set;
+        both None = no sharding)."""
         if isinstance(source, (str, os.PathLike)):
             files: List[Path] = sorted(Path(source).rglob("*.wav"))
         else:
             files = [Path(p) for p in source]
         if not files:
             raise ValueError("no .wav files found")
+
+        if host_id is not None or num_hosts is not None:
+            import jax
+
+            host_id = host_id if host_id is not None else jax.process_index()
+            num_hosts = (num_hosts if num_hosts is not None
+                         else jax.process_count())
+            files = files[host_id::num_hosts] or files  # tiny sets: share
+            seed = seed * max(num_hosts, 1) + host_id  # decorrelated crops
 
         self.crop_frames = crop_frames
         self.batch_size = batch_size

@@ -114,3 +114,14 @@ def test_read_pcm24(tmp_path):
     assert (c, sr, n) == (2, 8000, 300)
     out = wav_read(p)
     np.testing.assert_allclose(out, data, atol=1.01 / 8388608)
+
+
+def test_dataset_host_sharding(wav_dir):
+    ds0 = AudioDataset(wav_dir, crop_frames=256, batch_size=2,
+                       host_id=0, num_hosts=2)
+    ds1 = AudioDataset(wav_dir, crop_frames=256, batch_size=2,
+                       host_id=1, num_hosts=2)
+    files0 = {str(f) for f in ds0.files}
+    files1 = {str(f) for f in ds1.files}
+    assert files0.isdisjoint(files1)
+    assert len(files0) + len(files1) == 3
