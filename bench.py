@@ -54,7 +54,6 @@ def main():
 
     noise = jax.random.normal(jax.random.key(0), (BATCH, 2, LENGTH),
                               jnp.float32)
-    jitted = jax.jit(sample)
 
     # FLOPs of ONE net forward from XLA cost analysis (the sampling step is
     # one forward + a few elementwise ops).
@@ -67,20 +66,24 @@ def main():
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     flops_per_step = float((cost or {}).get("flops", 0.0))
 
-    # `.sum()` fetch forces TRUE completion — block_until_ready on the
-    # tunneled axon backend can return before execution finishes.
-    fetch = jax.jit(lambda x: jnp.sum(x))
-    out = jitted(model.params, noise)
-    _ = float(fetch(out))  # warmup both programs end-to-end
-
-    # reps amortize the ~30 ms host<->device round-trip of the final fetch
-    # (measured: a trivial jit+fetch costs 30 ms through the axon tunnel).
+    # All repetitions run on-device inside ONE jitted call (lax.map over
+    # rep noises): each host->device call costs ~30 ms through the axon
+    # tunnel and does NOT overlap, so a host-side reps loop would dilute
+    # the measurement. One RTT is subtracted explicitly.
+    RTT = 0.030
     reps = 10
+    noises = jax.random.normal(
+        jax.random.key(0), (reps, BATCH, 2, LENGTH), jnp.float32)
+
+    @jax.jit
+    def sample_many(params, noises):
+        outs = jax.lax.map(lambda n: sample(params, n), noises)
+        return jnp.sum(outs)
+
+    _ = float(sample_many(model.params, noises))  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = jitted(model.params, noise)
-    _ = float(fetch(out))
-    elapsed = time.perf_counter() - t0
+    _ = float(sample_many(model.params, noises))
+    elapsed = max(time.perf_counter() - t0 - RTT, 1e-6)
 
     steps_per_sec = NUM_STEPS * reps / elapsed
     if flops_per_step > 0:
