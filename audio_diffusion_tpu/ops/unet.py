@@ -42,6 +42,7 @@ from ..utils import default
 from .attention import AttentionItem, CrossAttentionItem
 from .conv import conv1d
 from .folding import (
+    conv3_as_matmuls,
     fold,
     fold_conv3_kernel,
     fold_dense_kernel,
@@ -119,12 +120,12 @@ class ResnetItem(nn.Module):
         cast = (lambda a: a.astype(self.dtype)) if self.dtype else (lambda a: a)
         h = group_norm(x, f, self.groups, cast(gn1_s), cast(gn1_b))
         h = nn.silu(h)
-        h = conv1d(h, cast(fold_conv3_kernel(k1, f)), padding=1) + _tile(
-            cast(b1), f)
+        h = conv3_as_matmuls(h, cast(fold_conv3_kernel(k1, f)),
+                             _tile(cast(b1), f))
         h = group_norm(h, f, self.groups, cast(gn2_s), cast(gn2_b))
         h = nn.silu(h)
-        h = conv1d(h, cast(fold_conv3_kernel(k2, f)), padding=1) + _tile(
-            cast(b2), f)
+        h = conv3_as_matmuls(h, cast(fold_conv3_kernel(k2, f)),
+                             _tile(cast(b2), f))
         return x + h
 
 
@@ -240,12 +241,12 @@ class ResnetModItem(nn.Module):
         # lax path — the definition of the math.
         h = group_norm(x, f, self.groups, cast(gn1_s), cast(gn1_b))
         h = nn.silu(h)
-        h = conv1d(h, cast(fold_conv3_kernel(k1, f)), padding=1) + _tile(
-            cast(b1), f)
+        h = conv3_as_matmuls(h, cast(fold_conv3_kernel(k1, f)),
+                             _tile(cast(b1), f))
         h = group_norm(h, f, self.groups, cast(gn2_s), cast(gn2_b))
         h = nn.silu(h)
-        h = conv1d(h, cast(fold_conv3_kernel(k2, f)), padding=1) + _tile(
-            cast(b2), f)
+        h = conv3_as_matmuls(h, cast(fold_conv3_kernel(k2, f)),
+                             _tile(cast(b2), f))
         y = x + h
         if self.use_modulation:
             hm = group_norm(y, f, self.groups, cast(mg_s), cast(mg_b))
@@ -605,8 +606,8 @@ class XUNet(nn.Module):
                 lambda a: a)
             h = group_norm(h, f0, self.resnet_groups, cast(gn_s), cast(gn_b))
             h = nn.silu(h)
-            h = conv1d(h, cast(fold_conv3_kernel(k, f0)), padding=1) + _tile(
-                cast(b), f0)
+            h = conv3_as_matmuls(h, cast(fold_conv3_kernel(k, f0)),
+                                 _tile(cast(b), f0))
             h = unfold(h, f0, self.out_channels)
         return jnp.swapaxes(h, 1, 2).astype(x.dtype)  # back to [B, C, T]
 
