@@ -100,17 +100,25 @@ def fold_dense_kernel(w: Array, f: int) -> Array:
 
 
 def conv3_as_matmuls(x: Array, k: Array, bias: Optional[Array] = None) -> Array:
-    """k=3 / padding=1 conv as three shifted matmuls: x [B, L, C],
-    k [3, C, Co] -> [B, L, Co].
+    """k=3 / padding=1 conv, formulation chosen by shape.
 
-    Mathematically identical to `conv1d(x, k, padding=1)`; measured ~2×
-    faster than XLA's conv lowering for wide channels on TPU v5e (the MXU
-    sees three clean [L, C]×[C, Co] GEMMs instead of an implicit-GEMM conv).
+    Wide channels + short length (the deep U-Net levels): three shifted
+    [L, C]×[C, Co] GEMMs — measured ~2× faster than XLA's implicit-GEMM
+    conv lowering on v5e. Long-length levels: the shifted copies would
+    triple memory traffic (measured net-slower end to end), so XLA's conv
+    is kept there. Identical math either way.
     """
-    z = jnp.zeros_like(x[:, :1])
-    prev = jnp.concatenate([z, x[:, :-1]], axis=1)
-    nxt = jnp.concatenate([x[:, 1:], z], axis=1)
-    out = prev @ k[0] + x @ k[1] + nxt @ k[2]
+    from jax import lax
+
+    b, l, c = x.shape
+    if c >= 512 and l <= 2048:
+        z = jnp.zeros_like(x[:, :1])
+        prev = jnp.concatenate([z, x[:, :-1]], axis=1)
+        nxt = jnp.concatenate([x[:, 1:], z], axis=1)
+        out = prev @ k[0] + x @ k[1] + nxt @ k[2]
+    else:
+        out = lax.conv_general_dilated(
+            x, k, (1,), ((1, 1),), dimension_numbers=("NHC", "HIO", "NHC"))
     if bias is not None:
         out = out + bias
     return out
