@@ -100,25 +100,19 @@ def fold_dense_kernel(w: Array, f: int) -> Array:
 
 
 def conv3_as_matmuls(x: Array, k: Array, bias: Optional[Array] = None) -> Array:
-    """k=3 / padding=1 conv, formulation chosen by shape.
+    """k=3 / padding=1 conv application point.
 
-    Wide channels + short length (the deep U-Net levels): three shifted
-    [L, C]×[C, Co] GEMMs — measured ~2× faster than XLA's implicit-GEMM
-    conv lowering on v5e. Long-length levels: the shifted copies would
-    triple memory traffic (measured net-slower end to end), so XLA's conv
-    is kept there. Identical math either way.
+    NOTE on the name: an explicit shifted-3-GEMM formulation was measured 2×
+    faster than XLA's conv lowering in ISOLATION (see PERFORMANCE.md), but
+    end-to-end it LOST both globally (258 → 222 steps/s) and when restricted
+    to wide/short deep levels (258 → 230): inside the real program XLA fuses
+    the conv with its GN/SiLU neighbors better than the concat+GEMM chain.
+    Lesson recorded; this simply applies XLA's conv.
     """
     from jax import lax
 
-    b, l, c = x.shape
-    if c >= 512 and l <= 2048:
-        z = jnp.zeros_like(x[:, :1])
-        prev = jnp.concatenate([z, x[:, :-1]], axis=1)
-        nxt = jnp.concatenate([x[:, 1:], z], axis=1)
-        out = prev @ k[0] + x @ k[1] + nxt @ k[2]
-    else:
-        out = lax.conv_general_dilated(
-            x, k, (1,), ((1, 1),), dimension_numbers=("NHC", "HIO", "NHC"))
+    out = lax.conv_general_dilated(
+        x, k, (1,), ((1, 1),), dimension_numbers=("NHC", "HIO", "NHC"))
     if bias is not None:
         out = out + bias
     return out
