@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -23,12 +24,9 @@ __all__ = ["Attention", "FeedForward", "AttentionItem", "CrossAttentionItem"]
 
 
 def _dot_product_attention(q: Array, k: Array, v: Array) -> Array:
-    """q,k,v: [B, H, S, D] / [B, H, T, D] -> [B, H, S, D]; f32 softmax."""
-    scale = q.shape[-1] ** -0.5
-    logits = jnp.einsum(
-        "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32) * scale
-    probs = nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhst,bhtd->bhsd", probs, v)
+    """q,k,v: [B, S, H, D] / [B, T, H, D] -> [B, S, H, D] (BTNH layout —
+    no head transposes needed; jax.nn's fused path, f32 softmax)."""
+    return jax.nn.dot_product_attention(q, k, v)
 
 
 class Attention(nn.Module):
@@ -57,12 +55,11 @@ class Attention(nn.Module):
 
         def split(t):
             b, s, _ = t.shape
-            return t.reshape(b, s, self.heads, self.head_features).transpose(
-                0, 2, 1, 3)
+            return t.reshape(b, s, self.heads, self.head_features)
 
         out = _dot_product_attention(split(q), split(k), split(v))
-        b, h, s, d = out.shape
-        out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        b, s, h, d = out.shape
+        out = out.reshape(b, s, h * d)
         return dense(self.out_features, "to_out")(out)
 
 
