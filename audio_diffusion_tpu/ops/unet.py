@@ -528,6 +528,12 @@ class XUNet(nn.Module):
         contexts = list(contexts) + [None] * (num_levels - len(contexts))
 
         length = x.shape[-1]
+        total_factor = 1
+        for f_ in self.factors:
+            total_factor *= f_
+        assert length % total_factor == 0, (
+            f"input length {length} must be divisible by the product of the "
+            f"downsampling factors ({total_factor})")
         folds = self._folds(length)
         in_fold = min(fold_factor(self.in_channels),
                       length & -length) if self.lane_fold else 1

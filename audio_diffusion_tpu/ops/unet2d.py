@@ -208,6 +208,13 @@ class XUNet2d(nn.Module):
         **unused_kwargs,
     ) -> Array:
         num_levels = len(self.channels)
+        total_factor = 1
+        for f_ in self.factors:
+            total_factor *= f_
+        assert (x.shape[-2] % total_factor == 0
+                and x.shape[-1] % total_factor == 0), (
+            f"input spatial dims {x.shape[-2:]} must be divisible by the "
+            f"product of the downsampling factors ({total_factor})")
         contexts = list(default(channels, [None] * num_levels))
         contexts += [None] * (num_levels - len(contexts))
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
