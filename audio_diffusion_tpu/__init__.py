@@ -29,6 +29,7 @@ from .models import (
     MelEncoder1d,
     TanhBottleneck,
 )
+from .losses import MultiResolutionSTFTLoss, multi_resolution_stft_loss
 from .ops import AppendChannelsPlugin, LTPlugin, Net, UNetV0, XUNet
 
 __version__ = "0.1.0"
@@ -63,4 +64,6 @@ __all__ = [
     "Net",
     "MelEncoder1d",
     "TanhBottleneck",
+    "MultiResolutionSTFTLoss",
+    "multi_resolution_stft_loss",
 ]
