@@ -16,6 +16,7 @@ import optax
 from jax import Array
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.net import contains_array
 from .mesh import param_sharding_rules
 
 __all__ = ["TrainState", "make_train_step"]
@@ -114,12 +115,34 @@ def make_train_step(
             return jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
 
-        def train_step(state: TrainState, batch, **cond):
+        def inner_step(state: TrainState, batch, **cond_all):
             batch = jax.tree_util.tree_map(constrain, batch)
-            cond = jax.tree_util.tree_map(constrain, cond)
-            return step_fn(state, batch, **cond)
+            arrays = {k: v for k, v in cond_all.items()
+                      if contains_array(v)}
+            arrays = jax.tree_util.tree_map(constrain, arrays)
+            cond_all = {**cond_all, **arrays}
+            return step_fn(state, batch, **cond_all)
     else:
-        train_step = step_fn
+        inner_step = step_fn
 
-    jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
-    return init_state, jitted
+    # Conditioning kwargs split traced-vs-static per call: scalars like
+    # embedding_mask_proba select program structure and must be static,
+    # arrays (embedding, channels, ...) are traced. One compiled program
+    # per static configuration.
+    jit_cache = {}
+
+    def train_step(state: TrainState, batch, **cond):
+        dyn = {k: v for k, v in cond.items() if contains_array(v)}
+        static = tuple(sorted(
+            (k, v) for k, v in cond.items() if k not in dyn))
+        if static not in jit_cache:
+            def run(state, batch, dyn, _static=static):
+                merged = dict(dyn)
+                merged.update(dict(_static))
+                return inner_step(state, batch, **merged)
+
+            jit_cache[static] = jax.jit(
+                run, donate_argnums=(0,) if donate else ())
+        return jit_cache[static](state, batch, dyn)
+
+    return init_state, train_step

@@ -101,3 +101,26 @@ def test_ema():
     diffs = [float(jnp.max(jnp.abs(a - b))) for a, b in zip(live, emal)]
     assert max(diffs) > 0  # not identical to live params
     assert all(jnp.all(jnp.isfinite(e)) for e in emal)
+
+
+def test_trainer_with_static_cond_kwargs():
+    """Structural conditioning kwargs (embedding_mask_proba) must compile:
+    the train step splits traced arrays from static scalars."""
+    from audio_diffusion_tpu import UNetV0
+    from audio_diffusion_tpu.ops.text import StubTextEncoder
+
+    model = DiffusionModel(
+        net_t=UNetV0, in_channels=1, channels=[8, 16], factors=[1, 2],
+        items=[1, 1], cross_attentions=[0, 1], attention_heads=2,
+        attention_features=8, modulation_features=32,
+        use_text_conditioning=True, use_embedding_cfg=True,
+        embedding_max_length=4, embedding_features=16,
+        text_encoder=StubTextEncoder(max_length=4, features=16))
+    x = jnp.zeros((2, 1, 64))
+    emb = jnp.zeros((2, 4, 16))
+    model.initialize(x, embedding=emb)
+    trainer = Trainer(model, TrainerConfig(log_every=100),
+                      log_fn=lambda s: None)
+    metrics = trainer.fit(itertools.repeat(x), num_steps=2, embedding=emb,
+                          embedding_mask_proba=0.1)
+    assert jnp.isfinite(metrics["loss"])
