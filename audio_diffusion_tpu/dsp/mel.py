@@ -40,6 +40,9 @@ def stft(x: Array, n_fft: int, hop_length: int,
     """
     win_length = win_length or n_fft
     t = x.shape[-1]
+    assert t >= n_fft, (
+        f"signal length {t} is shorter than n_fft {n_fft} (center=False "
+        "STFT needs at least one full frame)")
     num_frames = 1 + (t - n_fft) // hop_length
     window = _hann_window(win_length)
     if win_length < n_fft:  # torch zero-pads the window symmetrically
