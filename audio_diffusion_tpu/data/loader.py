@@ -23,9 +23,20 @@ import numpy as np
 
 __all__ = ["AudioDataset", "wav_probe", "wav_read"]
 
-_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_SRC = Path(__file__).resolve().parent / "wavio.cpp"
 _LIB = None
 _LIB_LOCK = threading.Lock()
+
+
+def _build_dir() -> Path:
+    """Directory for the compiled .so: next to the source if writable
+    (repo checkout), else a per-user cache (pip installs may be read-only)."""
+    if os.access(_SRC.parent, os.W_OK):
+        return _SRC.parent
+    cache = Path(os.environ.get("XDG_CACHE_HOME",
+                                Path.home() / ".cache")) / "audio_diffusion_tpu"
+    cache.mkdir(parents=True, exist_ok=True)
+    return cache
 
 
 def _load_lib() -> ctypes.CDLL:
@@ -33,13 +44,14 @@ def _load_lib() -> ctypes.CDLL:
     with _LIB_LOCK:
         if _LIB is not None:
             return _LIB
-        so = _NATIVE_DIR / "libwavio.so"
-        src = _NATIVE_DIR / "wavio.cpp"
-        if not so.exists() or (src.exists()
-                               and src.stat().st_mtime > so.stat().st_mtime):
+        if not _SRC.exists():
+            raise FileNotFoundError(
+                f"native source {_SRC} missing — broken installation")
+        so = _build_dir() / "libwavio.so"
+        if not so.exists() or _SRC.stat().st_mtime > so.stat().st_mtime:
             subprocess.run(
                 ["g++", "-O3", "-Wall", "-fPIC", "-std=c++17", "-shared",
-                 "-o", str(so), str(src)],
+                 "-o", str(so), str(_SRC)],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(str(so))
         lib.wav_probe.restype = ctypes.c_int

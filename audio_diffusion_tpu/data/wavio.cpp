@@ -39,7 +39,8 @@ bool read_header(FILE* f, WavInfo* info) {
     uint32_t size;
     if (fread(id, 1, 4, f) != 4 || fread(&size, 4, 1, f) != 1) break;
     if (memcmp(id, "fmt ", 4) == 0) {
-      uint8_t buf[40];
+      if (size < 16) return false;  // malformed: PCM fmt needs >= 16 bytes
+      uint8_t buf[40] = {0};
       uint32_t n = size < sizeof(buf) ? size : (uint32_t)sizeof(buf);
       if (fread(buf, 1, n, f) != n) return false;
       if (size > n && fseek(f, size - n, SEEK_CUR) != 0) return false;

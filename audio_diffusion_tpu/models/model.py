@@ -186,9 +186,15 @@ class DiffusionModel:
         # Bind positional args to the sampler's parameter names so they can
         # ride through the static/dynamic kwarg split.
         sig = inspect.signature(type(self.sampler).sample)
-        extra = (self.next_key(),) if getattr(
-            self.sampler, "needs_key", False) and key is None else ()
-        key_args = (key,) if key is not None else extra
+        if getattr(self.sampler, "needs_key", False):
+            key_args = (key if key is not None else self.next_key(),)
+        else:
+            # Deterministic samplers take no key; a user-passed key= must
+            # NOT be bound positionally (it would land on x_noisy).
+            assert key is None, (
+                f"{type(self.sampler).__name__} is deterministic and takes "
+                "no key")
+            key_args = ()
         bound = sig.bind(self.sampler, self.params["net"], *key_args, *args,
                          **kwargs)
         call_kwargs = dict(bound.arguments)

@@ -90,11 +90,15 @@ class DiffusionAE(DiffusionModel):
     def decode(self, latent, key: Optional[Array] = None, **kwargs) -> Array:
         assert self.params is not None, "initialize the model first"
         latent = jnp.asarray(latent)
-        b = latent.shape[0]
-        noise_length = closest_power_2(latent.shape[2] * self.latent_factor)
         key = key if key is not None else self.next_key()
 
         def run_decode(params, latent, key, **kw):
+            # Shapes derive from the TRACED latent (static at trace time) —
+            # never from call-site closure state: the jit cache reuses this
+            # function across calls with different latent shapes.
+            b = latent.shape[0]
+            noise_length = closest_power_2(
+                latent.shape[2] * self.latent_factor)
             noise = jax.random.normal(
                 key, (b, self.in_channels, noise_length), latent.dtype)
             channels = [None] * self.inject_depth + [latent]

@@ -88,6 +88,40 @@ def group_norm(x: Array, f: int, groups: int, scale: Array, bias: Array,
     return y
 
 
+def _declare_resnet_params(module: nn.Module, channels: int, param_dtype):
+    """Declare the 8 resnet-item parameters (shared by ResnetItem and
+    ResnetModItem so their trees/math stay in lockstep by construction)."""
+    c = channels
+    p = lambda name, shape, init: module.param(  # noqa: E731
+        name, init, shape, param_dtype)
+    return (
+        p("gn1_scale", (c,), nn.initializers.ones),
+        p("gn1_bias", (c,), nn.initializers.zeros),
+        p("conv1_kernel", (3, c, c), nn.initializers.lecun_normal()),
+        p("conv1_bias", (c,), nn.initializers.zeros),
+        p("gn2_scale", (c,), nn.initializers.ones),
+        p("gn2_bias", (c,), nn.initializers.zeros),
+        p("conv2_kernel", (3, c, c), nn.initializers.lecun_normal()),
+        p("conv2_bias", (c,), nn.initializers.zeros),
+    )
+
+
+def _resnet_math(x: Array, params, fold: int, groups: int, dtype) -> Array:
+    """Pure resnet math: (GN -> SiLU -> conv3) × 2 + identity."""
+    gn1_s, gn1_b, k1, b1, gn2_s, gn2_b, k2, b2 = params
+    f = fold
+    cast = (lambda a: a.astype(dtype)) if dtype else (lambda a: a)
+    h = group_norm(x, f, groups, cast(gn1_s), cast(gn1_b))
+    h = nn.silu(h)
+    h = conv3_as_matmuls(h, cast(fold_conv3_kernel(k1, f)),
+                         _tile(cast(b1), f))
+    h = group_norm(h, f, groups, cast(gn2_s), cast(gn2_b))
+    h = nn.silu(h)
+    h = conv3_as_matmuls(h, cast(fold_conv3_kernel(k2, f)),
+                         _tile(cast(b2), f))
+    return x + h
+
+
 class ResnetItem(nn.Module):
     """Pre-activation residual block: (GN -> SiLU -> Conv k=3) × 2 + identity.
 
@@ -105,28 +139,8 @@ class ResnetItem(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        c, f = self.channels, self.fold
-        p = lambda name, shape, init: self.param(  # noqa: E731
-            name, init, shape, self.param_dtype)
-        gn1_s = p("gn1_scale", (c,), nn.initializers.ones)
-        gn1_b = p("gn1_bias", (c,), nn.initializers.zeros)
-        k1 = p("conv1_kernel", (3, c, c), nn.initializers.lecun_normal())
-        b1 = p("conv1_bias", (c,), nn.initializers.zeros)
-        gn2_s = p("gn2_scale", (c,), nn.initializers.ones)
-        gn2_b = p("gn2_bias", (c,), nn.initializers.zeros)
-        k2 = p("conv2_kernel", (3, c, c), nn.initializers.lecun_normal())
-        b2 = p("conv2_bias", (c,), nn.initializers.zeros)
-
-        cast = (lambda a: a.astype(self.dtype)) if self.dtype else (lambda a: a)
-        h = group_norm(x, f, self.groups, cast(gn1_s), cast(gn1_b))
-        h = nn.silu(h)
-        h = conv3_as_matmuls(h, cast(fold_conv3_kernel(k1, f)),
-                             _tile(cast(b1), f))
-        h = group_norm(h, f, self.groups, cast(gn2_s), cast(gn2_b))
-        h = nn.silu(h)
-        h = conv3_as_matmuls(h, cast(fold_conv3_kernel(k2, f)),
-                             _tile(cast(b2), f))
-        return x + h
+        params = _declare_resnet_params(self, self.channels, self.param_dtype)
+        return _resnet_math(x, params, self.fold, self.groups, self.dtype)
 
 
 class ModulationItem(nn.Module):
@@ -238,16 +252,9 @@ class ResnetModItem(nn.Module):
                 _tile(cast(mg_b), f)[None] if mg_b is not None else zeros[:1],
                 1e-5, self.use_modulation, False)
 
-        # lax path — the definition of the math.
-        h = group_norm(x, f, self.groups, cast(gn1_s), cast(gn1_b))
-        h = nn.silu(h)
-        h = conv3_as_matmuls(h, cast(fold_conv3_kernel(k1, f)),
-                             _tile(cast(b1), f))
-        h = group_norm(h, f, self.groups, cast(gn2_s), cast(gn2_b))
-        h = nn.silu(h)
-        h = conv3_as_matmuls(h, cast(fold_conv3_kernel(k2, f)),
-                             _tile(cast(b2), f))
-        y = x + h
+        # lax path — the shared resnet math.
+        y = _resnet_math(x, (gn1_s, gn1_b, k1, b1, gn2_s, gn2_b, k2, b2),
+                         f, self.groups, self.dtype)
         if self.use_modulation:
             hm = group_norm(y, f, self.groups, cast(mg_s), cast(mg_b))
             y = y + hm * (1.0 + mods[:, None, :]) + modb[:, None, :]

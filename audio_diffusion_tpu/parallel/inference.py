@@ -34,8 +34,13 @@ def sample_length_sharded(model, noise: Array, num_steps: int,
     spec = NamedSharding(mesh, P(None, None, axis))
     noise = jax.device_put(noise, spec)
 
-    def run(params, x):
+    def run_sharded(params, x, **kw):
         x = jax.lax.with_sharding_constraint(x, spec)
-        return model.sample_fn(params, x, num_steps=num_steps, **kwargs)
+        return model.sample_fn(params, x, **kw)
 
-    return jax.jit(run)(model.params, noise)
+    # Route through the model's jit cache (static/dynamic kwarg split) so
+    # repeated calls reuse the compiled program instead of re-jitting a
+    # fresh closure each time. One cache entry per (mesh, axis).
+    tag = f"sample_sharded:{id(mesh)}:{axis}"
+    return model._jitted(tag, run_sharded, params=model.params, x=noise,
+                         num_steps=num_steps, **kwargs)

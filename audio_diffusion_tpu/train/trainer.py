@@ -149,33 +149,43 @@ class Trainer:
         metrics: Dict = {}
         t_last = time.perf_counter()
         it = iter(batches)
-        for i in range(num_steps):
-            batch = next(it)
-            step = int(self.state.step)
+        # Host-side step counter: reading the device-resident state.step
+        # would force a sync every iteration and defeat async dispatch.
+        step = int(self.state.step)
+        profiling = False
+        try:
+            for i in range(num_steps):
+                batch = next(it)
 
-            if (cfg.profile_dir is not None
-                    and step == cfg.profile_start_step):
-                jax.profiler.start_trace(cfg.profile_dir)
-            self.state, metrics = self.train_step(self.state, batch, **cond)
-            if (cfg.profile_dir is not None
-                    and step == cfg.profile_start_step
-                    + cfg.profile_num_steps):
-                jax.block_until_ready(metrics["loss"])
+                if (cfg.profile_dir is not None
+                        and step == cfg.profile_start_step):
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    profiling = True
+                self.state, metrics = self.train_step(
+                    self.state, batch, **cond)
+                step += 1
+                if (profiling and step >= cfg.profile_start_step
+                        + cfg.profile_num_steps):
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    profiling = False
+
+                if step % cfg.log_every == 0 or i == num_steps - 1:
+                    loss = float(metrics["loss"])
+                    gnorm = float(metrics["grad_norm"])
+                    now = time.perf_counter()
+                    sps = cfg.log_every / max(now - t_last, 1e-9)
+                    t_last = now
+                    self.log_fn(
+                        f"step {step}: loss={loss:.4f} "
+                        f"grad_norm={gnorm:.3f} steps/s={sps:.2f}")
+
+                if (self._ckpt_mgr is not None
+                        and step % cfg.checkpoint_every == 0):
+                    self.save_checkpoint(step)
+        finally:
+            if profiling:  # fit ended inside the profile window
                 jax.profiler.stop_trace()
-
-            if (step + 1) % cfg.log_every == 0 or i == num_steps - 1:
-                loss = float(metrics["loss"])
-                gnorm = float(metrics["grad_norm"])
-                now = time.perf_counter()
-                sps = cfg.log_every / max(now - t_last, 1e-9)
-                t_last = now
-                self.log_fn(
-                    f"step {step + 1}: loss={loss:.4f} "
-                    f"grad_norm={gnorm:.3f} steps/s={sps:.2f}")
-
-            if (self._ckpt_mgr is not None
-                    and (step + 1) % cfg.checkpoint_every == 0):
-                self.save_checkpoint(step + 1)
 
         self.model.params = self.state.params
         return metrics

@@ -29,7 +29,8 @@ def main():
     ap.add_argument("--length", type=int, default=2**18)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--ckpt", default=None)
-    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                    default=True, help="bf16 compute (--no-bf16 for f32)")
     args = ap.parse_args()
 
     model = DiffusionModel(

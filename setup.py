@@ -20,8 +20,11 @@ setup(
     ],
     extras_require={
         "text": ["transformers>=4.30"],
-        "test": ["pytest", "torch"],
+        "test": ["pytest", "torch", "hypothesis"],
     },
+    # Ship the native data-loader source (compiled on demand with g++).
+    package_data={"audio_diffusion_tpu.data": ["wavio.cpp"]},
+    include_package_data=True,
     classifiers=[
         "Development Status :: 4 - Beta",
         "Intended Audience :: Developers",

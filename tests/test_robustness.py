@@ -123,3 +123,33 @@ def test_show_progress_compiles():
     out = model.sample(jax.random.normal(jax.random.key(5), (1, 1, 256)),
                        num_steps=2, show_progress=True)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_ae_decode_different_shapes():
+    """Regression: decode must not bake the first call's latent shape into
+    the jit cache (noise shape derives from the traced latent)."""
+    encoder = MelEncoder1d(
+        in_channels=2, channels=16, out_channels=4, factors=[2],
+        num_blocks=[1], mel_channels=8, mel_n_fft=64, mel_sample_rate=16000)
+    ae = DiffusionAE(
+        net_t=UNetV0, in_channels=2, encoder=encoder, inject_depth=1,
+        channels=[8, 16], factors=[1, 32], items=[1, 1],
+        modulation_features=32)
+    _ = ae(jax.random.normal(jax.random.key(0), (1, 2, 1024)))
+    lat_a = ae.encode(jax.random.normal(jax.random.key(1), (2, 2, 1024)))
+    out_a = ae.decode(lat_a, num_steps=2)
+    assert out_a.shape == (2, 2, 1024)
+    lat_b = ae.encode(jax.random.normal(jax.random.key(2), (4, 2, 2048)))
+    out_b = ae.decode(lat_b, num_steps=2)
+    assert out_b.shape == (4, 2, 2048)
+
+
+def test_sample_key_on_deterministic_sampler_rejected():
+    """Regression: key= on a deterministic VSampler must raise a clear
+    error, not silently misbind as x_noisy."""
+    model = DiffusionModel(net_t=UNetV0, in_channels=1, **TINY_NET)
+    x = jax.random.normal(jax.random.key(0), (1, 1, 256))
+    _ = model(x)
+    import pytest as _pytest
+    with _pytest.raises(AssertionError, match="deterministic"):
+        model.sample(x, num_steps=2, key=jax.random.key(1))
