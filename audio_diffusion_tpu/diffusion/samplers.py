@@ -144,6 +144,10 @@ class ARVSampler(Sampler):
             v_pred = self.net.apply(params, channels, None, **kwargs)
             x_pred = a0 * x - b0 * v_pred
             noise_pred = b0 * x + a0 * v_pred
+            if show_progress:
+                # Reference diffusion.py:236 reports the first split's σ.
+                jax.debug.print("Sampling (noise={s:.2f})",
+                                s=sig[0, 0, -1])
             return a1 * x_pred + b1 * noise_pred, None
 
         xs = (sigmas[:-1], alphas[:-1], betas[:-1], alphas[1:], betas[1:])
@@ -176,7 +180,8 @@ class ARVSampler(Sampler):
         key_start, key_ladder, key_fresh = jax.random.split(key, 3)
 
         start_window = self.sample_start(
-            params, key_start, num_items=b, num_steps=num_steps, **kwargs)
+            params, key_start, num_items=b, num_steps=num_steps,
+            show_progress=show_progress, **kwargs)
         if num_chunks == n:
             return start_window
 
@@ -194,7 +199,8 @@ class ARVSampler(Sampler):
         # in a fresh noise chunk. Emitted splits == reference chunks[:num_chunks].
         def shift(window, scan_in):
             j = scan_in
-            updated = self.sample_loop(params, window, sigmas, **kwargs)
+            updated = self.sample_loop(params, window, sigmas,
+                                       show_progress=show_progress, **kwargs)
             out_chunk = updated[..., :l]
             fresh = jax.random.normal(
                 jax.random.fold_in(key_fresh, j),

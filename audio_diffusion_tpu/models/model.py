@@ -23,25 +23,19 @@ from __future__ import annotations
 
 import inspect
 from abc import ABC, abstractmethod
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 from jax import Array
 
 from ..diffusion import VDiffusion, VSampler, mse_loss
-from ..utils import default, groupby
+from ..utils import Static, default, groupby
 
 __all__ = ["DiffusionModel", "EncoderBase", "AdapterBase"]
 
 
 from ..ops.net import contains_array as _contains_array
-
-
-def _hashable(v: Any) -> Any:
-    if isinstance(v, list):
-        return tuple(_hashable(e) for e in v)
-    return v
 
 
 class DiffusionModel:
@@ -151,13 +145,16 @@ class DiffusionModel:
         dynamic, static = {}, {}
         for k, v in all_kwargs.items():
             (dynamic if _contains_array(v) else static)[k] = v
+        # Static values are wrapped (not converted): dict/list-valued kwargs
+        # hash via a frozen key but reach fn with their original type.
         static_items = tuple(sorted(
-            (k, _hashable(v)) for k, v in static.items()))
+            ((k, Static(v)) for k, v in static.items()),
+            key=lambda kv: kv[0]))
 
         if tag not in self._jit_cache:
             def run(dyn, stat_items):
                 merged = dict(dyn)
-                merged.update(dict(stat_items))
+                merged.update({k: s.value for k, s in stat_items})
                 return fn(**merged)
 
             self._jit_cache[tag] = jax.jit(run, static_argnums=(1,))

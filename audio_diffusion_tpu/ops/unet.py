@@ -727,11 +727,14 @@ class ClassifierFreeGuidanceWrapper(nn.Module):
 
         # Guided sampling: one batch-doubled pass [conditioned; fixed].
         def double(t):
-            return jnp.concatenate([t, t], axis=0) if t is not None else None
+            # Only batch-leading arrays are doubled; non-array kwarg leaves
+            # (bools, floats routed through conditioning) pass through.
+            if getattr(t, "ndim", 0) >= 1 and t.shape[0] == b:
+                return jnp.concatenate([t, t], axis=0)
+            return t
 
-        x2 = double(x)
-        sigmas2 = double(sigmas) if (
-            sigmas is not None and sigmas.ndim > 0) else sigmas
+        x2 = jnp.concatenate([x, x], axis=0)
+        sigmas2 = double(sigmas) if sigmas is not None else sigmas
         emb2 = jnp.concatenate([embedding, fixed_b], axis=0)
         kwargs2 = jax.tree_util.tree_map(double, kwargs)
         out2 = self.inner(x2, sigmas2, embedding=emb2, **kwargs2)

@@ -17,6 +17,7 @@ from jax import Array
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.net import contains_array
+from ..utils import Static
 from .mesh import param_sharding_rules
 
 __all__ = ["TrainState", "make_train_step"]
@@ -134,11 +135,12 @@ def make_train_step(
     def train_step(state: TrainState, batch, **cond):
         dyn = {k: v for k, v in cond.items() if contains_array(v)}
         static = tuple(sorted(
-            (k, v) for k, v in cond.items() if k not in dyn))
+            ((k, Static(v)) for k, v in cond.items() if k not in dyn),
+            key=lambda kv: kv[0]))
         if static not in jit_cache:
             def run(state, batch, dyn, _static=static):
                 merged = dict(dyn)
-                merged.update(dict(_static))
+                merged.update({k: s.value for k, s in _static})
                 return inner_step(state, batch, **merged)
 
             jit_cache[static] = jax.jit(

@@ -34,7 +34,42 @@ __all__ = [
     "group_dict_by_prefix",
     "groupby",
     "prefix_dict",
+    "Static",
 ]
+
+
+def _freeze(v):
+    """Recursively convert a static kwarg value to a hashable key."""
+    if isinstance(v, dict):
+        return ("dict",) + tuple(
+            sorted((k, _freeze(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return ("seq",) + tuple(_freeze(e) for e in v)
+    return v
+
+
+class Static:
+    """Hashable wrapper for a static (non-array) kwarg at a jit boundary.
+
+    Preserves the ORIGINAL Python value (``.value``) so dicts/lists round-trip
+    through the jit cache unchanged, while hashing/comparing on a frozen
+    deep-immutable key (dicts and lists are not hashable themselves).
+    """
+
+    __slots__ = ("value", "_key")
+
+    def __init__(self, value):
+        self.value = value
+        self._key = _freeze(value)
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, Static) and self._key == other._key
+
+    def __repr__(self):
+        return f"Static({self.value!r})"
 
 
 def exists(val: Optional[T]) -> bool:

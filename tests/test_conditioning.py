@@ -109,3 +109,24 @@ def test_context_length_mismatch_raises():
     bad_ctx = jax.random.normal(jax.random.key(1), (2, 5, LENGTH // 2))
     with pytest.raises(AssertionError, match="context length"):
         model(audio, channels=[None, bad_ctx])
+
+
+def test_guided_sampling_with_nonarray_kwarg(model):
+    """Non-array kwargs must pass through the CFG batch-doubling untouched
+    (regression: tree_map used to call jnp.concatenate on bool leaves)."""
+    audio = jax.random.normal(jax.random.key(0), (2, 2, LENGTH))
+    _ = model(audio, text=["a", "b"])  # init
+    noise = jax.random.normal(jax.random.key(1), (2, 2, LENGTH))
+    out = model.sample(noise, text=["a dog barking", "rain"],
+                       embedding_scale=5.0, num_steps=2, some_flag=True)
+    assert out.shape == (2, 2, LENGTH)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_dict_valued_static_kwarg(model):
+    """Dict-valued static kwargs must hash through the jit cache and arrive
+    as dicts (regression: unhashable-dict crash at the jit boundary)."""
+    audio = jax.random.normal(jax.random.key(0), (2, 2, LENGTH))
+    loss1 = model(audio, text=["a", "b"], some_cfg={"mode": "x", "n": 3})
+    loss2 = model(audio, text=["a", "b"], some_cfg={"n": 3, "mode": "x"})
+    assert jnp.isfinite(loss1) and jnp.isfinite(loss2)

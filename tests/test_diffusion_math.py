@@ -203,3 +203,22 @@ def test_arvsampler_runs_and_shape():
     out2 = sampler.sample(
         {}, jax.random.key(0), num_items=1, num_chunks=n, num_steps=8)
     assert out2.shape == (1, c, length)
+
+
+def test_arvsampler_show_progress(capfd):
+    """show_progress must reach the AR sample_loop (reference
+    diffusion.py:228/236 progress parity) and not change the result."""
+    c, length, n = 2, 64, 4
+    net = StubNet(
+        lambda x, s: jnp.zeros_like(x[:, :c]), in_channels=c + 1,
+        out_channels=c, uses_sigma=False)
+    sampler = ARVSampler(net=net, in_channels=c, length=length, num_splits=n)
+    quiet = sampler.sample(
+        {}, jax.random.key(0), num_items=1, num_chunks=6, num_steps=8)
+    loud = sampler.sample(
+        {}, jax.random.key(0), num_items=1, num_chunks=6, num_steps=8,
+        show_progress=True)
+    jax.block_until_ready(loud)
+    np.testing.assert_allclose(np.asarray(quiet), np.asarray(loud))
+    out = capfd.readouterr()
+    assert "Sampling" in out.out + out.err
