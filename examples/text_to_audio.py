@@ -1,7 +1,34 @@
 """Text-conditional generation example (T5 + classifier-free guidance).
 
-Requires T5 weights in the local HuggingFace cache; otherwise pass
---stub to exercise the pipeline with the deterministic stub encoder.
+Three ways to supply the conditioning (reference README.md:47-76):
+
+1. Real T5 (`--text "..."`): requires `t5-base` in the local HuggingFace
+   cache. Recipe on an online machine::
+
+       python -c "from transformers import AutoTokenizer, FlaxT5EncoderModel;
+                  AutoTokenizer.from_pretrained('t5-base');
+                  FlaxT5EncoderModel.from_pretrained('t5-base')"
+       # then copy ~/.cache/huggingface to this machine
+
+2. Precomputed embeddings (`--embedding file.npy`): encode the prompt on
+   any machine that has T5 and ship the [b, 64, 768] array::
+
+       from transformers import AutoTokenizer, FlaxT5EncoderModel
+       import numpy as np
+       tok = AutoTokenizer.from_pretrained("t5-base")
+       enc = FlaxT5EncoderModel.from_pretrained("t5-base")
+       t = tok(["rain on a tin roof"], return_tensors="np",
+               padding="max_length", max_length=64, truncation=True)
+       emb = np.asarray(enc(**t).last_hidden_state)
+       emb *= t["attention_mask"][..., None]      # zero the padding
+       np.save("prompt.npy", emb)
+
+   This matches ops/text.py T5TextEncoder exactly, so a model trained with
+   the live encoder conditions identically on shipped embeddings.
+
+3. Stub encoder (`--stub`): deterministic hash-based pseudo-embeddings —
+   NOT semantically meaningful; exercises the full CFG/cross-attention
+   pipeline offline.
 """
 from __future__ import annotations
 
@@ -16,11 +43,15 @@ from audio_diffusion_tpu import DiffusionModel, UNetV0
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--text", default="rain on a tin roof")
+    ap.add_argument("--embedding", default=None,
+                    help="path to a precomputed [b, 64, 768] .npy embedding "
+                         "(bypasses the text encoder entirely)")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--scale", type=float, default=5.0)
     ap.add_argument("--length", type=int, default=2**18)
     ap.add_argument("--stub", action="store_true",
-                    help="use the offline stub text encoder")
+                    help="use the offline stub text encoder (pseudo-"
+                         "embeddings, for pipeline testing only)")
     args = ap.parse_args()
 
     extra = {}
@@ -46,13 +77,23 @@ def main():
         **extra,
     )
 
+    if args.embedding is not None:
+        import numpy as np
+        cond = {"embedding": jnp.asarray(np.load(args.embedding))}
+        label = f"embedding file {args.embedding}"
+    else:
+        cond = {"text": [args.text]}
+        label = ("STUB encoder (pseudo-embeddings)" if args.stub
+                 else f"T5('{args.text}')")
+
     # (training: loss = model(audio, text=[...], embedding_mask_proba=0.1))
     example = jnp.zeros((1, 2, args.length))
-    model.initialize(example, text=[args.text])
+    model.initialize(example, **cond)
 
     noise = jax.random.normal(jax.random.key(0), (1, 2, args.length))
-    audio = model.sample(noise, text=[args.text],
-                         embedding_scale=args.scale, num_steps=args.steps)
+    audio = model.sample(noise, embedding_scale=args.scale,
+                         num_steps=args.steps, **cond)
+    print(f"conditioning: {label}")
     print("sampled:", audio.shape, "rms:", float(jnp.sqrt(jnp.mean(audio**2))))
 
 
