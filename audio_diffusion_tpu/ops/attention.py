@@ -7,9 +7,14 @@ followed by a feed-forward. Cross-attention keys/values come from `embedding`
 [b, n, embedding_features].
 
 TPU notes: attention only runs at coarse U-Net levels (seq ≤ ~1024 for the
-README configs — SURVEY.md §5.7), so a plain fused-softmax formulation already
-maps well onto the MXU; a Pallas flash-attention kernel is wired behind
-`use_flash` for longer sequences (ops/kernels/).
+README configs — SURVEY.md §5.7), so the exposed matmul+softmax formulation
+already maps onto the MXU at measured 97–182 effective TFLOP/s per item
+(49–92% of v5e bf16 peak, PERFORMANCE.md round-2 anatomy) — within ~1.25× of
+the item's pure-matmul roofline. A Pallas flash kernel is deliberately NOT
+used: at these sequence lengths the S×S score tile fits VMEM whole (no
+tiling needed, which is all flash attention buys), and fused Mosaic
+megakernels measured slower than XLA's own fusion twice on this backend
+(PERFORMANCE.md "megakernels" findings).
 """
 from __future__ import annotations
 

@@ -5,6 +5,6 @@ correctness oracle in tests and as the CPU fallback. Kernels are enabled via
 ``use_pallas=...`` flags on the modules that consume them (SURVEY.md §7:
 "Pallas kernels behind a flag with lax reference implementations").
 """
-from .groupnorm import fused_groupnorm_silu, groupnorm_silu_reference
+from .resnet import fused_resnet_item, resnet_item_reference
 
-__all__ = ["fused_groupnorm_silu", "groupnorm_silu_reference"]
+__all__ = ["fused_resnet_item", "resnet_item_reference"]

@@ -45,10 +45,14 @@ def group_map(fold: int, channels: int, groups: int) -> np.ndarray:
     return m
 
 
-def _gn(x, m, mt, scale, bias, rows_per_group, eps):
-    """GroupNorm on [Lf, W] f32 via group-matmul stats. scale/bias [1, W]."""
-    sums = jnp.sum(x, axis=0, keepdims=True)        # [1, W]
-    sqs = jnp.sum(x * x, axis=0, keepdims=True)     # [1, W]
+def _gn_stats(x, m, mt, rows_per_group, eps):
+    """Per-lane (mean, rstd) [1, W] from [Lf, W] input of any float dtype.
+    Reductions accumulate in f32 (jnp.sum upcasts), so the statistics are
+    identical whether x is stored bf16 or f32 — storage precision only
+    affects the VALUES, exactly like the lax path's astype-then-reduce."""
+    xf = x.astype(jnp.float32)
+    sums = jnp.sum(xf, axis=0, keepdims=True)       # [1, W]
+    sqs = jnp.sum(xf * xf, axis=0, keepdims=True)   # [1, W]
     mean_g = jnp.dot(sums, m, preferred_element_type=jnp.float32) / (
         rows_per_group)                              # [1, G]
     var_g = jnp.dot(sqs, m, preferred_element_type=jnp.float32) / (
@@ -56,21 +60,26 @@ def _gn(x, m, mt, scale, bias, rows_per_group, eps):
     mean_l = jnp.dot(mean_g, mt, preferred_element_type=jnp.float32)
     rstd_l = jnp.dot(jax.lax.rsqrt(var_g + eps), mt,
                      preferred_element_type=jnp.float32)
-    return (x - mean_l) * rstd_l * scale + bias
+    return mean_l, rstd_l
 
 
-def _conv3(h, k3, bias, dtype):
-    """Folded k=3 conv: three shifted matmuls. h [Lf, W] f32, k3 [3, W, W']."""
-    w = h.shape[-1]
+def _gn_silu(x, mean_l, rstd_l, scale, bias, dtype):
+    """Normalize + scale/shift + SiLU, emitted in `dtype` (the conv input
+    precision — matches the lax path's conv1d(h.astype(x.dtype)))."""
+    h = (x.astype(jnp.float32) - mean_l) * rstd_l * scale + bias
+    return (h * jax.nn.sigmoid(h)).astype(dtype)
+
+
+def _conv3_padded(h, k3, bias):
+    """Folded k=3 conv as three matmuls over one zero-padded buffer
+    [Lf+2, W] — operands are overlapping slices, not concat copies.
+    h: [Lf, W] in compute dtype; k3 [3, W, W']; returns f32 [Lf, W']."""
+    lf, w = h.shape
     zeros = jnp.zeros((1, w), h.dtype)
-    prev = jnp.concatenate([zeros, h[:-1]], axis=0)
-    nxt = jnp.concatenate([h[1:], zeros], axis=0)
-    out = (jnp.dot(prev.astype(dtype), k3[0],
-                   preferred_element_type=jnp.float32)
-           + jnp.dot(h.astype(dtype), k3[1],
-                     preferred_element_type=jnp.float32)
-           + jnp.dot(nxt.astype(dtype), k3[2],
-                     preferred_element_type=jnp.float32))
+    hp = jnp.concatenate([zeros, h, zeros], axis=0)  # [Lf+2, W]
+    out = (jnp.dot(hp[0:lf], k3[0], preferred_element_type=jnp.float32)
+           + jnp.dot(hp[1:lf + 1], k3[1], preferred_element_type=jnp.float32)
+           + jnp.dot(hp[2:lf + 2], k3[2], preferred_element_type=jnp.float32))
     return out + bias
 
 
@@ -78,24 +87,31 @@ def _item_kernel(x_ref, gn1s_ref, gn1b_ref, k1_ref, c1b_ref,
                  gn2s_ref, gn2b_ref, k2_ref, c2b_ref, m_ref, mt_ref,
                  mods_ref, modb_ref, mgs_ref, mgb_ref,
                  out_ref, *, eps: float, use_modulation: bool, dtype):
-    x = x_ref[0].astype(jnp.float32)                 # [Lf, W]
+    """Whole item VMEM-resident in the INPUT dtype: the only full-size f32
+    values are transient elementwise tiles; materialized buffers (matmul
+    operands/outputs) stay in x.dtype, so the shallow long-length levels
+    (Lf·W up to 2M elements) fit comfortably in VMEM as bf16."""
+    x = x_ref[0]                                     # [Lf, W], input dtype
     m = m_ref[:].astype(jnp.float32)                 # [W, G]
     mt = mt_ref[:].astype(jnp.float32)               # [G, W]
     rows = x.shape[0] * (m.shape[0] // m.shape[1])   # Lf · lanes-per-group
 
     f32 = lambda r: r[:].astype(jnp.float32)  # noqa: E731
-    h = _gn(x, m, mt, f32(gn1s_ref), f32(gn1b_ref), rows, eps)
-    h = h * jax.nn.sigmoid(h)
-    h = _conv3(h, k1_ref[:], f32(c1b_ref), dtype)
-    h = _gn(h, m, mt, f32(gn2s_ref), f32(gn2b_ref), rows, eps)
-    h = h * jax.nn.sigmoid(h)
-    h = _conv3(h, k2_ref[:], f32(c2b_ref), dtype)
-    y = x + h
+    mean, rstd = _gn_stats(x, m, mt, rows, eps)
+    h = _gn_silu(x, mean, rstd, f32(gn1s_ref), f32(gn1b_ref), dtype)
+    h = (_conv3_padded(h, k1_ref[:], f32(c1b_ref))).astype(dtype)
+    mean, rstd = _gn_stats(h, m, mt, rows, eps)
+    h = _gn_silu(h, mean, rstd, f32(gn2s_ref), f32(gn2b_ref), dtype)
+    h = _conv3_padded(h, k2_ref[:], f32(c2b_ref))
+    y = (x.astype(jnp.float32) + h).astype(dtype)
 
     if use_modulation:
-        hm = _gn(y, m, mt, f32(mgs_ref), f32(mgb_ref), rows, eps)
-        y = y + hm * (1.0 + mods_ref[0].astype(jnp.float32)) + \
-            modb_ref[0].astype(jnp.float32)
+        mean, rstd = _gn_stats(y, m, mt, rows, eps)
+        hm = (y.astype(jnp.float32) - mean) * rstd * f32(mgs_ref) + f32(
+            mgb_ref)
+        y = (y.astype(jnp.float32)
+             + hm * (1.0 + mods_ref[0].astype(jnp.float32))
+             + modb_ref[0].astype(jnp.float32)).astype(dtype)
 
     out_ref[0] = y.astype(out_ref.dtype)
 

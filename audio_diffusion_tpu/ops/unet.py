@@ -76,14 +76,21 @@ def _tile(v: Array, f: int) -> Array:
 def group_norm(x: Array, f: int, groups: int, scale: Array, bias: Array,
                eps: float = 1e-5) -> Array:
     """GroupNorm on a (possibly folded) [B, Lf, f·C] tensor: statistics per
-    (batch, group) over (length, fold positions, group channels); f32 stats."""
+    (batch, group) over (length, fold positions, group channels); f32 stats.
+
+    E[x²]−E[x]² form: both moments reduce in ONE fused pass over x and the
+    normalize is a second pass — the mean-centered form materializes an f32
+    `centered` array (2× the activation) and reads it twice, which is pure
+    HBM traffic at the long shallow levels (measured +6% full-forward cost).
+    """
     b, lf, fc = x.shape
     c = fc // f
-    xg = x.reshape(b, lf, f, groups, c // groups).astype(jnp.float32)
-    mean = xg.mean(axis=(1, 2, 4), keepdims=True)
-    centered = xg - mean
-    var = (centered * centered).mean(axis=(1, 2, 4), keepdims=True)
-    xn = (centered * jax.lax.rsqrt(var + eps)).reshape(b, lf, fc)
+    xg = x.reshape(b, lf, f, groups, c // groups)
+    mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True, dtype=jnp.float32)
+    meansq = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=(1, 2, 4),
+                      keepdims=True)
+    rstd = jax.lax.rsqrt(meansq - mean * mean + eps)
+    xn = ((xg.astype(jnp.float32) - mean) * rstd).reshape(b, lf, fc)
     y = xn.astype(x.dtype) * _tile(scale, f) + _tile(bias, f)
     return y
 
@@ -226,12 +233,20 @@ class ResnetModItem(nn.Module):
         # The fused kernel keeps the whole [Lf, W] activation plus both conv
         # weight banks VMEM-resident; guard statically on the estimated
         # footprint and fall back to the lax path when it won't fit.
+        # Estimate: 3 activation-sized buffers in the compute dtype
+        # (x block, h, padded h) + one f32 conv accumulator + both folded
+        # conv kernels.
         use_pallas = self.use_pallas
         if use_pallas:
             lf, w_ = x.shape[1], x.shape[2]
             esize = 2 if self.dtype == jnp.bfloat16 else 4
-            vmem_est = lf * w_ * 4 * 3 + 2 * 3 * w_ * w_ * esize
-            use_pallas = vmem_est < 14 * 1024 * 1024
+            vmem_est = lf * w_ * (3 * esize + 4) + 6 * w_ * w_ * esize
+            # Wide levels are excluded even when they fit: their conv weight
+            # banks (6·W² elements) load synchronously at kernel start
+            # (grid=1, nothing to pipeline against), while the lax path
+            # overlaps those loads with neighboring compute — measured
+            # slower e2e for W >= 512.
+            use_pallas = vmem_est < 14 * 1024 * 1024 and w_ <= 256
 
         if use_pallas:
             from .kernels.resnet import fused_resnet_item, group_map
