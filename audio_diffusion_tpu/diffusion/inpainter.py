@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array, lax
 
-from ..ops.net import Net
+from ..ops.net import Net, cast_inference_params
 from .core import alpha_beta
 from .schedules import LinearSchedule, Schedule
 from .vdiffusion import VDiffusion
@@ -52,6 +52,8 @@ class VInpainter(Inpainter):
         x_noisy: Optional[Array] = None,
         **kwargs,
     ) -> Array:
+        params = cast_inference_params(
+            params, getattr(self.net, "compute_dtype", None))
         key_init, key_loop = jax.random.split(key)
         if x_noisy is None:
             x_noisy = jax.random.normal(key_init, source.shape, source.dtype)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array, lax
 
-from ..ops.net import Net
+from ..ops.net import Net, cast_inference_params
 from .core import alpha_beta
 from .schedules import LinearSchedule, Schedule
 from .vdiffusion import VDiffusion
@@ -66,6 +66,11 @@ class VSampler(Sampler):
                show_progress: bool = False, unroll: int = 1,
                **kwargs) -> Array:
         b = x_noisy.shape[0]
+        # Cast f32 master params to the compute dtype once, outside the scan
+        # (guarantees the converts never run per step regardless of XLA's
+        # loop-invariant code motion; bit-identical, see ops/net.py).
+        params = cast_inference_params(
+            params, getattr(self.net, "compute_dtype", None))
         sigmas = self.schedule(num_steps + 1).astype(x_noisy.dtype)  # [s+1]
         alphas, betas = alpha_beta(sigmas)
 
@@ -136,6 +141,10 @@ class ARVSampler(Sampler):
 
         Reference: diffusion.py:223-238 (σ as an input channel per step).
         """
+        # Idempotent (already-cast leaves pass through): safe both when
+        # called directly and from sample()'s outer scan.
+        params = cast_inference_params(
+            params, getattr(self.net, "compute_dtype", None))
         alphas, betas = alpha_beta(sigmas)
 
         def step(x, scan_in):
@@ -177,6 +186,8 @@ class ARVSampler(Sampler):
         """
         n, l, b = self.num_splits, self.split_length, num_items
         assert num_chunks >= n, f"required at least {n} chunks"
+        params = cast_inference_params(
+            params, getattr(self.net, "compute_dtype", None))
         key_start, key_ladder, key_fresh = jax.random.split(key, 3)
 
         start_window = self.sample_start(

@@ -67,7 +67,9 @@ def UNetV0(
     (`channels, factors, items, attentions, cross_attentions,
     context_channels` must be equal length).
     """
-    assert dim in (1, 2), f"UNetV0 supports dim 1 (audio) or 2 (images), got {dim}"
+    assert dim in (1, 2, 3), (
+        f"UNetV0 supports dim 1 (audio), 2 (images), or 3 (volumes), "
+        f"got {dim}")
 
     num_layers = len(channels)
     attentions = default(attentions, [0] * num_layers)
@@ -101,9 +103,12 @@ def UNetV0(
         module: nn.Module = XUNet(
             lane_fold=lane_fold, use_pallas=use_pallas, use_remat=use_remat,
             **unet_kwargs)
-    else:
+    elif dim == 2:
         from .unet2d import XUNet2d
         module = XUNet2d(**unet_kwargs)
+    else:
+        from .unet3d import XUNet3d
+        module = XUNet3d(**unet_kwargs)
 
     if use_embedding_cfg:
         assert exists(embedding_max_length), (
@@ -127,7 +132,7 @@ def UNetV0(
         )
 
     net = Net(module, in_channels=in_channels, out_channels=out_channels,
-              uses_sigma=use_time_conditioning)
+              uses_sigma=use_time_conditioning, compute_dtype=dtype)
 
     if use_text_conditioning:
         if text_encoder is None:
@@ -196,7 +201,8 @@ def LTPlugin(net_t: Callable, num_filters: int, window_length: int,
             stride=stride,
         )
         net = Net(module, in_channels=in_channels, out_channels=out_channels,
-                  uses_sigma=inner_net.uses_sigma)
+                  uses_sigma=inner_net.uses_sigma,
+                  compute_dtype=inner_net.compute_dtype)
         if getattr(inner_net, "text_encoder", None) is not None:
             net.text_encoder = inner_net.text_encoder
         return net
@@ -218,7 +224,8 @@ def AppendChannelsPlugin(net_t: Callable, channels: int) -> Callable[..., Net]:
         )
         module = AppendChannelsWrapper(inner=inner_net.module)
         net = Net(module, in_channels=in_channels, out_channels=out_channels,
-                  uses_sigma=inner_net.uses_sigma)
+                  uses_sigma=inner_net.uses_sigma,
+                  compute_dtype=inner_net.compute_dtype)
         if getattr(inner_net, "text_encoder", None) is not None:
             net.text_encoder = inner_net.text_encoder
         return net

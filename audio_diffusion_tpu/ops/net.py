@@ -25,7 +25,36 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-__all__ = ["Net", "contains_array"]
+__all__ = ["Net", "contains_array", "cast_inference_params"]
+
+# Param leaves that must stay float32 even under a bf16 compute dtype:
+# SigmaEmbedding's fourier `freqs` are consumed in f32 (large angles feed
+# sin/cos; bf16 mantissa would visibly perturb the time embedding).
+_KEEP_F32 = ("freqs",)
+
+
+def cast_inference_params(params: Dict, dtype) -> Dict:
+    """Cast float32 parameter leaves to the compute dtype ONCE, outside the
+    sampling scan.
+
+    Every parameter use in the net already casts per-op to the compute
+    dtype, so pre-casting is bit-identical (verified by
+    tests/test_cast_params.py and a TPU A/B). Measured perf-NEUTRAL on the
+    flagship bench — XLA's loop-invariant code motion already hoists the
+    converts out of the scan — so this exists to make that invariant
+    explicit and guaranteed at every XLA version, not as a speedup
+    (PERFORMANCE.md round-2 notes). No-op when dtype is None.
+    """
+    if dtype is None or dtype == jnp.float32:
+        return params
+
+    def cast(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if leaf.dtype == jnp.float32 and name not in _KEEP_F32:
+            return leaf.astype(dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(cast, params)
 
 
 def contains_array(v: Any) -> bool:
@@ -49,10 +78,14 @@ class Net:
         in_channels: int,
         out_channels: int,
         uses_sigma: bool = True,
+        compute_dtype: Any = None,
     ):
         self.module = module
         self.in_channels = in_channels
         self.out_channels = out_channels
+        # The net's compute dtype (dtype= passed to the factory); samplers
+        # use it to pre-cast f32 master params before their scans.
+        self.compute_dtype = compute_dtype
         # Optional host-side text encoder; set by UNetV0 when
         # use_text_conditioning=True. The model layer uses it to turn
         # `text=[...]` into an `embedding=` array before entering jit.
