@@ -58,6 +58,7 @@ def UNetV0(
     lane_fold: bool = True,
     use_pallas: bool = False,
     use_remat: bool = False,
+    remat_policy: Optional[str] = None,
     dtype: Optional[Any] = None,
     param_dtype: Any = jnp.float32,
 ) -> Net:
@@ -102,7 +103,7 @@ def UNetV0(
     if dim == 1:
         module: nn.Module = XUNet(
             lane_fold=lane_fold, use_pallas=use_pallas, use_remat=use_remat,
-            **unet_kwargs)
+            remat_policy=remat_policy, **unet_kwargs)
     elif dim == 2:
         from .unet2d import XUNet2d
         module = XUNet2d(**unet_kwargs)

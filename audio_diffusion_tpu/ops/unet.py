@@ -507,6 +507,12 @@ class XUNet(nn.Module):
     # — trades FLOPs for activation memory so 2^18-sample training fits
     # larger batches per chip.
     use_remat: bool = False
+    # Selective checkpoint policy (name of a jax.checkpoint_policies entry,
+    # e.g. "dots_with_no_batch_dims_saveable"): keeps matmul outputs and
+    # recomputes only the cheap elementwise/GN chains — less backward-pass
+    # recompute than full remat for most of the memory savings. None = save
+    # nothing (full remat). Only used when use_remat=True.
+    remat_policy: Optional[str] = None
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -561,7 +567,12 @@ class XUNet(nn.Module):
                       length & -length) if self.lane_fold else 1
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
-        stack_cls = nn.remat(ItemStack) if self.use_remat else ItemStack
+        if self.use_remat:
+            policy = (getattr(jax.checkpoint_policies, self.remat_policy)
+                      if self.remat_policy else None)
+            stack_cls = nn.remat(ItemStack, policy=policy)
+        else:
+            stack_cls = ItemStack
 
         def stack(i: int, name: str):
             return stack_cls(

@@ -98,6 +98,18 @@ def test_remat_matches_no_remat():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4),
         g1, g2)
+    # Selective checkpointing (keep matmul outputs, recompute elementwise)
+    # is also an identity on the math.
+    model_p = DiffusionModel(
+        use_remat=True, remat_policy="dots_with_no_batch_dims_saveable",
+        **cfg)
+    model_p.params = model.params
+    l3 = float(model_p.loss(model_p.params, key, audio))
+    assert abs(l1 - l3) < 1e-6
+    g3 = jax.grad(model_p.loss)(model_p.params, key, audio)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4),
+        g1, g3)
 
 
 def test_model_save_load(tmp_path):
