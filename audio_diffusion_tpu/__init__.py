@@ -8,11 +8,13 @@ from .diffusion import (
     ARVSampler,
     Diffusion,
     Distribution,
+    DPMSampler,
     Inpainter,
     LinearSchedule,
     Sampler,
     Schedule,
     UniformDistribution,
+    UniformLambdaSchedule,
     VDiffusion,
     VInpainter,
     VSampler,
@@ -43,12 +45,14 @@ __all__ = [
     "Diffusion",
     "Distribution",
     "LinearSchedule",
+    "UniformLambdaSchedule",
     "Sampler",
     "Schedule",
     "UniformDistribution",
     "VDiffusion",
     "VInpainter",
     "VSampler",
+    "DPMSampler",
     "DiffusionAE",
     "DiffusionAR",
     "DiffusionModel",

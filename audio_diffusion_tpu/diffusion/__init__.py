@@ -1,8 +1,8 @@
 from .core import alpha_beta, clip, extend_dim, pad_dims
 from .distributions import Distribution, UniformDistribution
 from .inpainter import Inpainter, VInpainter
-from .samplers import ARVSampler, Sampler, VSampler
-from .schedules import LinearSchedule, Schedule
+from .samplers import ARVSampler, DPMSampler, Sampler, VSampler
+from .schedules import LinearSchedule, Schedule, UniformLambdaSchedule
 from .vdiffusion import ARVDiffusion, Diffusion, VDiffusion, mse_loss
 
 __all__ = [
@@ -14,12 +14,14 @@ __all__ = [
     "UniformDistribution",
     "Schedule",
     "LinearSchedule",
+    "UniformLambdaSchedule",
     "Diffusion",
     "VDiffusion",
     "ARVDiffusion",
     "mse_loss",
     "Sampler",
     "VSampler",
+    "DPMSampler",
     "ARVSampler",
     "Inpainter",
     "VInpainter",

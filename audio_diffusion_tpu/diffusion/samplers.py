@@ -22,10 +22,10 @@ from jax import Array, lax
 
 from ..ops.net import Net, cast_inference_params
 from .core import alpha_beta
-from .schedules import LinearSchedule, Schedule
+from .schedules import LinearSchedule, Schedule, UniformLambdaSchedule
 from .vdiffusion import VDiffusion
 
-__all__ = ["Sampler", "VSampler", "ARVSampler"]
+__all__ = ["Sampler", "VSampler", "DPMSampler", "ARVSampler"]
 
 
 class Sampler:
@@ -88,6 +88,84 @@ class VSampler(Sampler):
         # unroll > 1 lets XLA overlap adjacent denoising steps (the per-
         # iteration while-loop overhead is measurable at batch 1).
         x, _ = lax.scan(step, x_noisy, xs, unroll=unroll)
+        return x
+
+
+class DPMSampler(Sampler):
+    """DPM-Solver++(2M) for the trigonometric v-parameterization — a
+    second-order multistep ODE solver (Lu et al. 2022, arXiv:2211.01095,
+    data-prediction form).
+
+    BEYOND-REFERENCE capability (the reference ships only the first-order
+    angular-DDIM VSampler, diffusion.py:158-190): same single net evaluation
+    per step, one extra carried tensor, but second-order accuracy in the
+    log-SNR step — it reaches a given sample quality in roughly half the
+    steps of VSampler. Drop-in: ``DiffusionModel(..., sampler_t=DPMSampler)``
+    trains nothing new (pure inference-time change) and solves the SAME
+    probability-flow ODE, so outputs converge to VSampler's as steps grow
+    (tests/test_dpm_sampler.py pins both properties).
+
+    Update (data prediction; α=cos, β=sin of the shared trig schedule,
+    λ = log(α/β), h_i = λ_{i+1} − λ_i, r = h_{i-1}/h_i)::
+
+        x0_i   = α_i·x − β_i·v(x, σ_i)
+        D_i    = x0_i + (x0_i − x0_{i-1}) / (2 r)        (D_0 = x0_0)
+        x_{i+1} = (β_{i+1}/β_i)·x + α_{i+1}·(1 − e^{−h_i})·D_i
+
+    Compiled as one `lax.scan` like VSampler; deterministic, no RNG.
+
+    Default schedule: UniformLambdaSchedule — exponential integrators step
+    uniformly in log-SNR; uniform-σ spacing (LinearSchedule) makes the
+    endpoint steps' h explode and measured WORSE than VSampler at every
+    step count, while uniform-λ measures 3-4× more accurate than VSampler
+    at 16-50 steps (tests/test_dpm_sampler.py).
+    """
+
+    diffusion_types = [VDiffusion]
+
+    # λ = log(α/β) is clamped via this floor on α and β so the σ∈{0,1}
+    # endpoints (where λ = ±∞) stay finite inside the scan; e^{−h} then
+    # underflows to exactly the right limit (0) instead of producing NaNs.
+    _EPS = 1e-7
+
+    def __init__(self, net: Net, schedule: Optional[Schedule] = None):
+        self.net = net
+        self.schedule = schedule or UniformLambdaSchedule()
+
+    def sample(self, params: Dict, x_noisy: Array, num_steps: int,
+               show_progress: bool = False, unroll: int = 1,
+               **kwargs) -> Array:
+        b = x_noisy.shape[0]
+        params = cast_inference_params(
+            params, getattr(self.net, "compute_dtype", None))
+        sigmas = self.schedule(num_steps + 1).astype(jnp.float32)  # [s+1]
+        alphas, betas = alpha_beta(sigmas)
+        lam = jnp.log(jnp.maximum(alphas, self._EPS)
+                      / jnp.maximum(betas, self._EPS))
+        hs = lam[1:] - lam[:-1]  # [s]
+        h_prev = jnp.concatenate([jnp.ones_like(hs[:1]), hs[:-1]])
+
+        def step(carry, scan_in):
+            x, x0_prev, is_first = carry
+            sig, a0, b0, a1, b1, h, hp = scan_in
+            v = self.net.apply(params, x, jnp.full((b,), sig), **kwargs)
+            x0 = a0 * x - b0 * v
+            # Second-order correction from the previous x0 estimate;
+            # first step falls back to first order (DDIM-equivalent).
+            r = hp / h
+            d = x0 + jnp.where(is_first, 0.0, 1.0 / (2.0 * r)) * (
+                x0 - x0_prev)
+            ratio = b1 / jnp.maximum(b0, self._EPS)
+            x_next = ratio * x + a1 * (1.0 - jnp.exp(-h)) * d
+            if show_progress:
+                jax.debug.print("Sampling (noise={s:.2f})", s=sig)
+            return (x_next, x0, jnp.zeros_like(is_first)), None
+
+        xs = (sigmas[:-1], alphas[:-1], betas[:-1], alphas[1:], betas[1:],
+              hs, h_prev)
+        carry = (x_noisy, jnp.zeros_like(x_noisy),
+                 jnp.ones((), jnp.bool_))
+        (x, _, _), _ = lax.scan(step, carry, xs, unroll=unroll)
         return x
 
 

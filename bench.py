@@ -124,27 +124,27 @@ def main():
               "3x@25% exceeds v5e bf16 peak — see BASELINE.md",
               file=sys.stderr)
 
-    # Secondary diagnostic: train step (loss+grad+adam) samples/sec.
+    # Secondary diagnostic: train step (loss+grad+adam) samples/sec via the
+    # library's donated train step (the real training path — measured ~25%
+    # faster than a naive non-donated loop, PERFORMANCE.md).
     import optax
-    opt = optax.adam(1e-4)
-    opt_state = opt.init(model.params)
+    from audio_diffusion_tpu.parallel import make_train_step
 
-    @jax.jit
-    def train_step(params, opt_state, key, x):
-        loss, grads = jax.value_and_grad(model.loss)(params, key, x)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    k = jax.random.key(1)
-    p, s, l = train_step(model.params, opt_state, k, noise)
-    _ = float(l)
+    TRAIN_BATCH = 8
+    xt = jax.random.normal(jax.random.key(2), (TRAIN_BATCH, 2, LENGTH),
+                           jnp.float32)
+    init_state, train_step = make_train_step(model.loss, optax.adam(1e-4))
+    state = init_state(model.params, jax.random.key(1))
+    state, m = train_step(state, xt)
+    _ = float(m["loss"])
     t0 = time.perf_counter()
     for _ in range(reps):
-        p, s, l = train_step(p, s, k, noise)
-    _ = float(l)
+        state, m = train_step(state, xt)
+    _ = float(m["loss"])
     train_dt = (time.perf_counter() - t0) / reps
-    print(f"diag: train step {train_dt*1000:.1f} ms "
-          f"({BATCH/train_dt:.2f} samples/s at 2^18 stereo)",
+    print(f"diag: train step (donated, batch {TRAIN_BATCH}) "
+          f"{train_dt*1000:.1f} ms "
+          f"({TRAIN_BATCH/train_dt:.2f} samples/s at 2^18 stereo)",
           file=sys.stderr)
     print(json.dumps({
         "metric": "vsampler_steps_per_sec_2e18_stereo_9level",

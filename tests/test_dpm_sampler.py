@@ -1,0 +1,73 @@
+"""DPMSampler (DPM-Solver++(2M)) — beyond-reference second-order sampler.
+
+Both VSampler and DPMSampler are deterministic solvers of the SAME
+probability-flow ODE, so (a) their outputs must converge to each other as
+steps grow, and (b) at a low step count the second-order solver must sit
+closer to the converged solution than the first-order one.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_diffusion_tpu import DiffusionModel, DPMSampler, UNetV0, VSampler
+
+TINY = dict(
+    net_t=UNetV0,
+    in_channels=2,
+    channels=[8, 16],
+    factors=[1, 2],
+    items=[1, 1],
+    modulation_features=32,
+)
+LENGTH = 64
+
+
+def _models():
+    mv = DiffusionModel(sampler_t=VSampler, **TINY)
+    noise = jax.random.normal(jax.random.key(0), (1, 2, LENGTH))
+    mv.initialize(noise, key=jax.random.key(1))
+    md = DiffusionModel(sampler_t=DPMSampler, **TINY)
+    md.params = mv.params  # identical weights
+    return mv, md, noise
+
+
+def test_dpm_deterministic_and_finite():
+    _, md, noise = _models()
+    o1 = md.sample(noise, num_steps=10)
+    o2 = md.sample(noise, num_steps=10)
+    assert o1.shape == noise.shape
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    assert np.isfinite(np.asarray(o1)).all()
+
+
+def test_dpm_converges_to_vsampler_ode_solution():
+    mv, md, noise = _models()
+    ref = np.asarray(mv.sample(noise, num_steps=400))
+    scale = np.abs(ref).mean()
+
+    def err(x):
+        return float(np.abs(np.asarray(x) - ref).mean()) / scale
+
+    e_dpm_hi = err(md.sample(noise, num_steps=100))
+    assert e_dpm_hi < 0.02, e_dpm_hi  # same ODE, same limit
+
+    # Second-order accuracy + uniform-λ spacing: at a practical low step
+    # count DPM must clearly beat first-order DDIM (measured ~3x at n=16).
+    e_v_lo = err(mv.sample(noise, num_steps=16))
+    e_dpm_lo = err(md.sample(noise, num_steps=16))
+    assert e_dpm_lo < 0.6 * e_v_lo, (e_dpm_lo, e_v_lo)
+
+
+def test_dpm_order_of_convergence():
+    """Error should shrink faster than first order in the step count."""
+    mv, md, noise = _models()
+    ref = np.asarray(mv.sample(noise, num_steps=400))
+
+    def err(m, n):
+        return float(np.abs(np.asarray(m.sample(noise, num_steps=n))
+                            - ref).mean())
+
+    # Halving the step size should cut DPM's error by clearly more than 2x
+    # (second order ⇒ ~4x) over the asymptotic range.
+    e16, e32 = err(md, 16), err(md, 32)
+    assert e32 < e16 / 2.2, (e16, e32)
