@@ -1,3 +1,3 @@
-from .loader import AudioDataset, wav_probe, wav_read
+from .loader import AudioDataset, wav_probe, wav_read, wav_write
 
-__all__ = ["AudioDataset", "wav_probe", "wav_read"]
+__all__ = ["AudioDataset", "wav_probe", "wav_read", "wav_write"]

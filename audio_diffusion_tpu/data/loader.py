@@ -21,7 +21,7 @@ from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["AudioDataset", "wav_probe", "wav_read"]
+__all__ = ["AudioDataset", "wav_probe", "wav_read", "wav_write"]
 
 _SRC = Path(__file__).resolve().parent / "wavio.cpp"
 _LIB = None
@@ -67,6 +67,10 @@ def _load_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float)]
+        lib.wav_write.restype = ctypes.c_int
+        lib.wav_write.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
         _LIB = lib
         return lib
 
@@ -97,6 +101,27 @@ def wav_read(path: str | os.PathLike, start: int = 0,
     if err != 0:
         raise IOError(f"wav_read({path}) failed with code {err}")
     return out
+
+
+def wav_write(path: str | os.PathLike, data, sample_rate: int,
+              bits: int = 16) -> None:
+    """Write planar float32 [channels, frames] (or [frames]) as a WAV file.
+
+    bits=16 writes PCM16 (values clipped to [-1, 1]); bits=32 writes IEEE
+    float. Completes the native I/O path: generated audio can be saved
+    without any external audio dependency.
+    """
+    lib = _load_lib()
+    arr = np.ascontiguousarray(np.asarray(data, np.float32))
+    if arr.ndim == 1:
+        arr = arr[None]
+    assert arr.ndim == 2, f"expected [channels, frames], got {arr.shape}"
+    channels, frames = arr.shape
+    err = lib.wav_write(str(path).encode(),
+                        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                        channels, frames, sample_rate, bits)
+    if err != 0:
+        raise IOError(f"wav_write({path}) failed with code {err}")
 
 
 class AudioDataset:

@@ -163,4 +163,72 @@ int wav_read_batch(const char** paths, const int64_t* starts,
   return 0;
 }
 
+// Write planar float32 [channels, frames] as a WAV file.
+// bits: 16 (PCM16, values clipped to [-1, 1]) or 32 (IEEE float).
+// Returns 0 on success.
+int wav_write(const char* path, const float* data, int32_t channels,
+              int64_t frames, int32_t sample_rate, int32_t bits) {
+  if (channels <= 0 || frames < 0 || (bits != 16 && bits != 32)) return -7;
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  const uint32_t bytes_per = (uint32_t)bits / 8;
+  const uint64_t data_bytes = (uint64_t)frames * channels * bytes_per;
+  const uint16_t format = bits == 32 ? 3 : 1;  // IEEE float / PCM
+  const uint32_t byte_rate = (uint32_t)sample_rate * channels * bytes_per;
+  const uint16_t block_align = (uint16_t)(channels * bytes_per);
+  const uint32_t riff_size = 36 + (uint32_t)data_bytes;
+
+  uint8_t hdr[44];
+  memcpy(hdr, "RIFF", 4);
+  memcpy(hdr + 4, &riff_size, 4);
+  memcpy(hdr + 8, "WAVEfmt ", 8);
+  uint32_t fmt_size = 16;
+  memcpy(hdr + 16, &fmt_size, 4);
+  memcpy(hdr + 20, &format, 2);
+  uint16_t ch16 = (uint16_t)channels;
+  memcpy(hdr + 22, &ch16, 2);
+  uint32_t sr = (uint32_t)sample_rate;
+  memcpy(hdr + 24, &sr, 4);
+  memcpy(hdr + 28, &byte_rate, 4);
+  memcpy(hdr + 32, &block_align, 2);
+  uint16_t b16 = (uint16_t)bits;
+  memcpy(hdr + 34, &b16, 2);
+  memcpy(hdr + 36, "data", 4);
+  uint32_t db32 = (uint32_t)data_bytes;
+  memcpy(hdr + 40, &db32, 4);
+  if (fwrite(hdr, 1, 44, f) != 44) { fclose(f); return -5; }
+
+  // Interleave (and quantize for PCM16) in chunks.
+  const uint64_t CHUNK = 65536;  // frames per write
+  uint8_t* buf = (uint8_t*)malloc(CHUNK * channels * bytes_per);
+  if (!buf) { fclose(f); return -4; }
+  for (uint64_t off = 0; off < (uint64_t)frames; off += CHUNK) {
+    const uint64_t n =
+        (uint64_t)frames - off < CHUNK ? (uint64_t)frames - off : CHUNK;
+    for (uint64_t i = 0; i < n; ++i) {
+      for (int32_t ch = 0; ch < channels; ++ch) {
+        float v = data[(uint64_t)ch * frames + off + i];
+        uint8_t* dst = buf + (i * channels + ch) * bytes_per;
+        if (bits == 32) {
+          memcpy(dst, &v, 4);
+        } else {
+          if (v > 1.0f) v = 1.0f;
+          if (v < -1.0f) v = -1.0f;
+          int32_t q = (int32_t)(v * 32767.0f + (v >= 0 ? 0.5f : -0.5f));
+          int16_t x = (int16_t)q;
+          memcpy(dst, &x, 2);
+        }
+      }
+    }
+    if (fwrite(buf, 1, n * channels * bytes_per, f) !=
+        n * channels * bytes_per) {
+      free(buf);
+      fclose(f);
+      return -5;
+    }
+  }
+  free(buf);
+  return fclose(f) == 0 ? 0 : -5;
+}
+
 }  // extern "C"

@@ -125,3 +125,46 @@ def test_dataset_host_sharding(wav_dir):
     files1 = {str(f) for f in ds1.files}
     assert files0.isdisjoint(files1)
     assert len(files0) + len(files1) == 3
+
+
+def test_wav_write_roundtrip_pcm16(tmp_path):
+    """Native writer -> native reader and Python's wave module agree."""
+    from audio_diffusion_tpu.data import wav_write
+
+    rng = np.random.default_rng(7)
+    data = np.clip(rng.standard_normal((2, 3000)) * 0.3, -1, 1
+                   ).astype(np.float32)
+    path = tmp_path / "out.wav"
+    wav_write(path, data, sample_rate=24000, bits=16)
+
+    c, sr, n = wav_probe(path)
+    assert (c, sr, n) == (2, 24000, 3000)
+    back = wav_read(path)
+    np.testing.assert_allclose(back, data, atol=2.0 / 32768)
+    # Independent decode via the stdlib.
+    with wave.open(str(path), "rb") as f:
+        assert f.getnchannels() == 2 and f.getframerate() == 24000
+        raw = np.frombuffer(f.readframes(3000), "<i2").astype(np.float32)
+    np.testing.assert_allclose(raw.reshape(-1, 2).T / 32768.0, data,
+                               atol=2.0 / 32768)
+
+
+def test_wav_write_roundtrip_float32(tmp_path):
+    from audio_diffusion_tpu.data import wav_write
+
+    rng = np.random.default_rng(8)
+    data = (rng.standard_normal((1, 1234)) * 2.0).astype(np.float32)  # >1 ok
+    path = tmp_path / "out_f32.wav"
+    wav_write(path, data, sample_rate=48000, bits=32)
+    back = wav_read(path)
+    np.testing.assert_array_equal(back, data)  # float path is lossless
+
+
+def test_wav_write_mono_1d(tmp_path):
+    from audio_diffusion_tpu.data import wav_write
+
+    data = np.sin(np.linspace(0, 20, 500)).astype(np.float32)
+    path = tmp_path / "mono.wav"
+    wav_write(path, data, sample_rate=16000)
+    c, sr, n = wav_probe(path)
+    assert (c, sr, n) == (1, 16000, 500)
