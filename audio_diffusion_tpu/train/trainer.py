@@ -100,7 +100,15 @@ class Trainer:
         return self.state
 
     # ---------------------------------------------------------- checkpoints
-    def save_checkpoint(self, step: Optional[int] = None):
+    def save_checkpoint(self, step: Optional[int] = None,
+                        wait: bool = False):
+        """Checkpoint the train state.
+
+        Saves are ASYNC (orbax copies device arrays to host synchronously,
+        then writes to disk in a background thread), so training overlaps
+        the disk write; `fit` waits once on exit. Pass wait=True to block
+        until this save is durable (e.g. right before preemption).
+        """
         assert self._ckpt_mgr is not None, "no checkpoint_dir configured"
         assert self.state is not None
         import orbax.checkpoint as ocp
@@ -108,11 +116,13 @@ class Trainer:
         step = step if step is not None else int(self.state.step)
         self._ckpt_mgr.save(
             step, args=ocp.args.PyTreeSave(self._state_as_pytree()))
-        self._ckpt_mgr.wait_until_finished()
+        if wait:
+            self._ckpt_mgr.wait_until_finished()
 
     def restore_latest(self) -> Optional[int]:
         """Restore the newest checkpoint; returns its step or None."""
         assert self._ckpt_mgr is not None, "no checkpoint_dir configured"
+        self._ckpt_mgr.wait_until_finished()  # flush any in-flight save
         latest = self._ckpt_mgr.latest_step()
         if latest is None:
             return None
@@ -186,6 +196,8 @@ class Trainer:
         finally:
             if profiling:  # fit ended inside the profile window
                 jax.profiler.stop_trace()
+            if self._ckpt_mgr is not None:  # make async saves durable
+                self._ckpt_mgr.wait_until_finished()
 
         self.model.params = self.state.params
         return metrics
