@@ -39,11 +39,20 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     donate: bool = True,
     ema_decay: Optional[float] = None,
+    accum_steps: int = 1,
 ) -> Tuple[Callable, Callable]:
     """Build (init_state, train_step).
 
     loss_fn(params, key, batch, **cond) -> scalar loss — e.g.
     ``DiffusionModel.loss``.
+
+    accum_steps > 1 enables gradient accumulation: the batch's LEADING axis
+    is split into `accum_steps` microbatches scanned sequentially (grads
+    averaged, one optimizer step) — the effective batch exceeds what fits
+    in HBM at once, at unchanged math (identity-tested). Batch-leading
+    conditioning arrays are split alongside the batch; each microbatch gets
+    its own fold of the step RNG key (matching how the same samples in
+    separate batches would draw σ/noise).
 
     Returns:
       init_state(params, rng) -> TrainState (sharded if mesh given)
@@ -90,10 +99,45 @@ def make_train_step(
             )
         return state
 
+    def grad_fn(params, key, batch, **cond):
+        """(loss, grads), microbatched when accum_steps > 1."""
+        if accum_steps == 1:
+            return jax.value_and_grad(loss_fn)(params, key, batch, **cond)
+
+        def split_mb(t):
+            b = t.shape[0]
+            assert b % accum_steps == 0, (
+                f"batch {b} not divisible by accum_steps={accum_steps}")
+            return t.reshape((accum_steps, b // accum_steps) + t.shape[1:])
+
+        mb_batch = jax.tree_util.tree_map(split_mb, batch)
+        mb_cond = {k: jax.tree_util.tree_map(split_mb, v)
+                   if contains_array(v) else v for k, v in cond.items()}
+        mb_static = {k: v for k, v in mb_cond.items()
+                     if not contains_array(v)}
+        mb_arrays = {k: v for k, v in mb_cond.items() if k not in mb_static}
+
+        def micro(acc, scan_in):
+            i, mb, arrs = scan_in
+            l, g = jax.value_and_grad(loss_fn)(
+                params, jax.random.fold_in(key, i), mb,
+                **arrs, **mb_static)
+            loss_acc, grads_acc = acc
+            return (loss_acc + l,
+                    jax.tree_util.tree_map(jnp.add, grads_acc, g)), None
+
+        zero = (jnp.zeros((), jnp.float32),
+                jax.tree_util.tree_map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), params))
+        (loss_sum, grads_sum), _ = jax.lax.scan(
+            micro, zero, (jnp.arange(accum_steps), mb_batch, mb_arrays))
+        inv = 1.0 / accum_steps
+        return loss_sum * inv, jax.tree_util.tree_map(
+            lambda g: g * inv, grads_sum)
+
     def step_fn(state: TrainState, batch, **cond):
         rng, key = jax.random.split(state.rng)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, key, batch, **cond)
+        loss, grads = grad_fn(state.params, key, batch, **cond)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -118,3 +118,58 @@ def test_length_sharded_sampling_matches_unsharded():
     out = sample_length_sharded(model, noise, num_steps=3, mesh=mesh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_gradient_accumulation_identity():
+    """With a key-independent loss, accum_steps=2 must produce EXACTLY the
+    full-batch gradients (mean-of-means over equal microbatches)."""
+    from audio_diffusion_tpu.parallel import make_train_step
+
+    w0 = {"w": jnp.asarray([[1.5, -0.5], [0.25, 2.0]], jnp.float32)}
+    x = jax.random.normal(jax.random.key(0), (4, 2))
+
+    def loss_fn(params, key, batch):
+        pred = batch @ params["w"]
+        return jnp.mean(jnp.square(pred - 1.0))
+
+    opt = optax.sgd(0.1)
+    outs = []
+    for accum in (1, 2, 4):
+        init_state, train_step = make_train_step(
+            loss_fn, opt, accum_steps=accum, donate=False)
+        state = init_state(w0, jax.random.key(1))
+        state, metrics = train_step(state, x)
+        outs.append((np.asarray(state.params["w"]),
+                     float(metrics["loss"]), float(metrics["grad_norm"])))
+    for params, loss, gnorm in outs[1:]:
+        np.testing.assert_allclose(params, outs[0][0], atol=1e-6)
+        assert abs(loss - outs[0][1]) < 1e-6
+        assert abs(gnorm - outs[0][2]) < 1e-5
+
+
+def test_gradient_accumulation_e2e_diffusion():
+    """Accumulated training on the real diffusion loss runs and learns the
+    same way (finite loss, params move, conditioning kwargs still work)."""
+    from audio_diffusion_tpu.parallel import make_train_step
+
+    model = DiffusionModel(
+        net_t=UNetV0, in_channels=1, channels=[8, 16], factors=[1, 2],
+        items=[1, 1], modulation_features=32)
+    x = jax.random.normal(jax.random.key(0), (4, 1, 64))
+    model.initialize(x)
+    init_state, train_step = make_train_step(
+        model.loss, optax.adam(1e-3), accum_steps=2)
+    state = init_state(model.params, jax.random.key(1))
+    before = np.asarray(
+        jax.tree_util.tree_leaves(state.params)[0]).copy()
+    for _ in range(3):
+        state, metrics = train_step(state, x)
+    assert np.isfinite(float(metrics["loss"]))
+    after = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    assert np.abs(after - before).max() > 0
+
+    with pytest.raises(AssertionError, match="divisible"):
+        bad_init, bad_step = make_train_step(
+            model.loss, optax.adam(1e-3), accum_steps=3)
+        s = bad_init(model.params, jax.random.key(2))
+        bad_step(s, x)
