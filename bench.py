@@ -37,6 +37,16 @@ REFERENCE_MFU_GENEROUS = 0.25
 
 
 def main():
+    # Persistent compilation cache: verified to work through the remote
+    # backend (second process: init 12.3s -> 4.1s, sampling compile 5.3s ->
+    # 1.2s) — repeat bench runs skip the multi-minute first compile.
+    import os
+    if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+
     from audio_diffusion_tpu import DiffusionModel, UNetV0
 
     model = DiffusionModel(

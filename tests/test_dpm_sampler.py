@@ -71,3 +71,39 @@ def test_dpm_order_of_convergence():
     # (second order ⇒ ~4x) over the asymptotic range.
     e16, e32 = err(md, 16), err(md, 32)
     assert e32 < e16 / 2.2, (e16, e32)
+
+
+def test_dpm_with_cfg_guided_sampling():
+    """DPM + classifier-free guidance (batch-doubled pass inside the scan)."""
+    model = DiffusionModel(
+        net_t=UNetV0, sampler_t=DPMSampler, in_channels=1,
+        channels=[8, 16], factors=[1, 2], items=[1, 1],
+        cross_attentions=[0, 1], attention_heads=2, attention_features=8,
+        modulation_features=32, embedding_features=16,
+        use_embedding_cfg=True, embedding_max_length=4)
+    x = jax.random.normal(jax.random.key(0), (2, 1, 64))
+    emb = jax.random.normal(jax.random.key(1), (2, 4, 16))
+    _ = model(x, embedding=emb, embedding_mask_proba=0.5)
+    noise = jax.random.normal(jax.random.key(2), (2, 1, 64))
+    guided = model.sample(noise, embedding=emb, embedding_scale=4.0,
+                          num_steps=4)
+    unguided = model.sample(noise, embedding=emb, num_steps=4)
+    assert guided.shape == (2, 1, 64)
+    assert np.isfinite(np.asarray(guided)).all()
+    assert float(jnp.max(jnp.abs(guided - unguided))) > 1e-6
+
+
+def test_dpm_in_task_model():
+    """sampler_t=DPMSampler rides through the task models' flat kwargs."""
+    from audio_diffusion_tpu import DiffusionUpsampler
+
+    up = DiffusionUpsampler(
+        net_t=UNetV0, sampler_t=DPMSampler, in_channels=1,
+        upsample_factor=2, channels=[8, 16], factors=[1, 2], items=[1, 1],
+        modulation_features=32)
+    x = jax.random.normal(jax.random.key(0), (1, 1, 64))
+    _ = up(x)
+    small = jax.random.normal(jax.random.key(1), (1, 1, 32))
+    out = up.sample(small, num_steps=3)
+    assert out.shape == (1, 1, 64)
+    assert np.isfinite(np.asarray(out)).all()
