@@ -19,6 +19,7 @@ from .diffusion import (
     VInpainter,
     VSampler,
 )
+from . import presets
 from .dsp import MelSpectrogram
 from .models import (
     AdapterBase,
@@ -37,6 +38,7 @@ from .ops import AppendChannelsPlugin, LTPlugin, Net, UNetV0, XUNet
 __version__ = "0.1.0"
 
 __all__ = [
+    "presets",
     # reference public API (reference __init__.py:1-20)
     "LTPlugin",
     "MelSpectrogram",
