@@ -20,6 +20,7 @@ from .diffusion import (
     VSampler,
 )
 from . import presets
+from .serve import GenerationService
 from .dsp import MelSpectrogram
 from .models import (
     AdapterBase,
@@ -39,6 +40,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "presets",
+    "GenerationService",
     # reference public API (reference __init__.py:1-20)
     "LTPlugin",
     "MelSpectrogram",

@@ -1,0 +1,105 @@
+"""GenerationService: microbatching, padding, determinism, conditioning."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from audio_diffusion_tpu import (DiffusionModel, DiffusionUpsampler,
+                                 GenerationService, UNetV0)
+
+TINY = dict(net_t=UNetV0, in_channels=2, channels=[8, 16], factors=[1, 2],
+            items=[1, 1], modulation_features=32)
+
+
+@pytest.fixture(scope="module")
+def model():
+    m = DiffusionModel(**TINY)
+    m.initialize(jnp.zeros((1, 2, 256)))
+    return m
+
+
+def test_batches_and_padding(model):
+    with GenerationService(model, num_steps=4, batch_size=4,
+                           max_wait_ms=200.0) as svc:
+        noise = [np.random.default_rng(i).standard_normal(
+            (2, 256)).astype(np.float32) for i in range(6)]
+        outs = [f.result(timeout=120) for f in
+                [svc.submit(n) for n in noise]]
+    assert all(o.shape == (2, 256) and np.isfinite(o).all() for o in outs)
+    s = svc.stats
+    # 6 requests at batch 4: two batches, the second padded by 2.
+    assert s["requests"] == 6 and s["batches"] == 2
+    assert s["padded_slots"] == 2
+    assert s["mean_occupancy"] == pytest.approx(6 / 8)
+
+
+def test_matches_direct_sampling_and_padding_is_inert(model):
+    """A padded service batch returns the same audio as a direct
+    model.sample of the same noise (batch elements are independent)."""
+    noise = np.random.default_rng(0).standard_normal(
+        (2, 256)).astype(np.float32)
+    direct = np.asarray(model.sample(noise[None], num_steps=4))[0]
+    with GenerationService(model, num_steps=4, batch_size=4,
+                           max_wait_ms=10.0) as svc:
+        served = svc.submit(noise).result(timeout=120)
+    np.testing.assert_allclose(served, direct, atol=1e-4)
+
+
+def test_generate_seed_deterministic(model):
+    with GenerationService(model, num_steps=2, batch_size=2,
+                           max_wait_ms=10.0) as svc:
+        a = svc.generate(length=256, seed=7)
+        b = svc.generate(length=256, seed=7)
+        c = svc.generate(length=256, seed=8)
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 0
+
+
+def test_mixed_signatures(model):
+    """Different lengths and step counts route to separate batches."""
+    with GenerationService(model, num_steps=2, batch_size=4,
+                           max_wait_ms=50.0) as svc:
+        f1 = svc.submit(np.zeros((2, 256), np.float32))
+        f2 = svc.submit(np.zeros((2, 512), np.float32))
+        f3 = svc.submit(np.zeros((2, 256), np.float32), num_steps=3)
+        outs = [f.result(timeout=120) for f in (f1, f2, f3)]
+    assert outs[0].shape == (2, 256)
+    assert outs[1].shape == (2, 512)
+    assert svc.stats["batches"] == 3
+
+
+def test_error_propagates(model):
+    with GenerationService(model, num_steps=2, batch_size=1) as svc:
+        # Length not divisible by the downsampling product -> the batch
+        # fails; the future must carry the exception, not hang.
+        f = svc.submit(np.zeros((2, 255), np.float32))
+        with pytest.raises(Exception):
+            f.result(timeout=120)
+
+
+def test_params_snapshot(model):
+    """A service pinned to a params snapshot ignores later live-params
+    changes and restores model.params after each batch."""
+    snapshot = jax.tree.map(lambda p: p, model.params)
+    noise = np.random.default_rng(1).standard_normal(
+        (2, 256)).astype(np.float32)
+    with GenerationService(model, num_steps=2, batch_size=1,
+                           params=snapshot) as svc:
+        before = svc.submit(noise).result(timeout=120)
+        live = model.params
+        model.params = jax.tree.map(lambda p: p * 0.5, live)
+        after = svc.submit(noise).result(timeout=120)
+        assert model.params is not snapshot
+        model.params = live
+    np.testing.assert_array_equal(before, after)
+
+
+def test_serves_task_model():
+    up = DiffusionUpsampler(net_t=UNetV0, in_channels=2, upsample_factor=2,
+                            channels=[8, 16], factors=[1, 2], items=[1, 1],
+                            modulation_features=32)
+    up.initialize(jnp.zeros((1, 2, 256)))
+    with GenerationService(up, num_steps=2, batch_size=2,
+                           max_wait_ms=10.0) as svc:
+        out = svc.submit(np.zeros((2, 128), np.float32)).result(timeout=120)
+    assert out.shape == (2, 256)
