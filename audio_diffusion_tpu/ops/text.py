@@ -14,6 +14,13 @@ Encoders implement::
   requires the model to be present in the local HF cache (this build
   environment has no network egress, so it loads with local_files_only=True
   and raises a clear error if absent).
+- :class:`RandomT5TextEncoder` — the REAL T5 encoder architecture
+  (transformers' FlaxT5EncoderModel built from a config, no downloads) with
+  frozen random weights and byte-level tokenization. Semantically
+  meaningless like the stub, but it exercises the genuine encoder stack
+  (relative-position-bias attention, masking, tokenize→encode→mask
+  pipeline), so the text path's wiring is proven against the true
+  architecture even in a zero-egress environment.
 - :class:`StubTextEncoder` — deterministic hash-based embeddings for offline
   testing/benchmarking. NOT semantically meaningful; it exists so the full
   text-conditional pipeline (CFG, cross-attention, guided sampling) can be
@@ -26,7 +33,7 @@ from typing import Any, List
 
 import numpy as np
 
-__all__ = ["T5TextEncoder", "StubTextEncoder"]
+__all__ = ["T5TextEncoder", "RandomT5TextEncoder", "StubTextEncoder"]
 
 
 class T5TextEncoder:
@@ -69,6 +76,44 @@ class T5TextEncoder:
         # Zero out padding positions so they act as nulls in cross-attention.
         mask = tokens["attention_mask"][..., None]
         return np.asarray(out) * mask
+
+
+class RandomT5TextEncoder:
+    """The real T5 encoder stack with frozen random weights (no downloads).
+
+    Uses transformers' ``FlaxT5EncoderModel`` constructed from a
+    ``T5Config`` (offline) and a byte-level tokenizer (ids = byte+3, with
+     0 as pad — the ByteT5 convention). Deterministic for a fixed ``seed``.
+    Swap in :class:`T5TextEncoder` when real t5-base weights are cached;
+    the downstream contract (``[b, max_length, features]`` with padding
+    positions zeroed) is identical.
+    """
+
+    def __init__(self, max_length: int = 64, features: int = 768,
+                 num_layers: int = 2, num_heads: int = 4, seed: int = 0):
+        from transformers import FlaxT5EncoderModel, T5Config
+
+        self.max_length = max_length
+        self.features = features
+        cfg = T5Config(d_model=features, d_ff=2 * features,
+                       num_layers=num_layers, num_heads=num_heads,
+                       d_kv=features // num_heads, vocab_size=259,
+                       dropout_rate=0.0)
+        self._model = FlaxT5EncoderModel(cfg, seed=seed)
+
+    def _tokenize(self, texts: List[str]) -> np.ndarray:
+        ids = np.zeros((len(texts), self.max_length), np.int32)
+        for i, text in enumerate(texts):
+            raw = text.encode("utf-8")[: self.max_length]
+            ids[i, : len(raw)] = np.frombuffer(raw, np.uint8) + 3
+        return ids
+
+    def __call__(self, texts: List[str]) -> np.ndarray:
+        ids = self._tokenize(texts)
+        mask = (ids != 0).astype(np.int32)
+        out = self._model(input_ids=ids,
+                          attention_mask=mask).last_hidden_state
+        return np.asarray(out) * mask[..., None]
 
 
 class StubTextEncoder:
