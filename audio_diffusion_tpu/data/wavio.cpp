@@ -169,6 +169,10 @@ int wav_read_batch(const char** paths, const int64_t* starts,
 int wav_write(const char* path, const float* data, int32_t channels,
               int64_t frames, int32_t sample_rate, int32_t bits) {
   if (channels <= 0 || frames < 0 || (bits != 16 && bits != 32)) return -7;
+  // RIFF chunk sizes are uint32: refuse payloads the format cannot
+  // represent instead of writing a wrapped (corrupt) header.
+  if ((uint64_t)frames * channels * (bits / 8) > 0xFFFFFFFFull - 36)
+    return -8;
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
   const uint32_t bytes_per = (uint32_t)bits / 8;

@@ -159,7 +159,11 @@ class DPMSampler(Sampler):
             x_next = ratio * x + a1 * (1.0 - jnp.exp(-h)) * d
             if show_progress:
                 jax.debug.print("Sampling (noise={s:.2f})", s=sig)
-            return (x_next, x0, jnp.zeros_like(is_first)), None
+            # Coefficient math runs f32; the carry stays in the caller's
+            # dtype (bf16-safe: f32 carry would break the scan dtype
+            # invariant against the bf16 init).
+            return (x_next.astype(x.dtype), x0.astype(x.dtype),
+                    jnp.zeros_like(is_first)), None
 
         xs = (sigmas[:-1], alphas[:-1], betas[:-1], alphas[1:], betas[1:],
               hs, h_prev)

@@ -57,7 +57,12 @@ class UniformLambdaSchedule(Schedule):
             return np.log(np.cos(th) / np.sin(th))
 
         m = self.margin / n
-        lams = np.linspace(lam(1.0 - m), lam(m), n - 1)
+        if n == 2:
+            # np.linspace(a, b, 1) returns [a]; the single interior point
+            # must be the λ-midpoint, not a near-endpoint duplicate.
+            lams = np.array([(lam(1.0 - m) + lam(m)) / 2.0])
+        else:
+            lams = np.linspace(lam(1.0 - m), lam(m), n - 1)
         interior = (2.0 / math.pi) * np.arctan(np.exp(-lams))
         sig = np.concatenate([[1.0], interior, [0.0]]).astype(np.float32)
         return jnp.asarray(sig)

@@ -89,7 +89,9 @@ def group_norm(x: Array, f: int, groups: int, scale: Array, bias: Array,
     mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True, dtype=jnp.float32)
     meansq = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=(1, 2, 4),
                       keepdims=True)
-    rstd = jax.lax.rsqrt(meansq - mean * mean + eps)
+    # Clamp at 0: catastrophic cancellation (|mean| >> std) can push the
+    # moment difference slightly negative, and rsqrt(negative) is NaN.
+    rstd = jax.lax.rsqrt(jnp.maximum(meansq - mean * mean, 0.0) + eps)
     xn = ((xg.astype(jnp.float32) - mean) * rstd).reshape(b, lf, fc)
     y = xn.astype(x.dtype) * _tile(scale, f) + _tile(bias, f)
     return y

@@ -16,13 +16,19 @@ them as starting points.
 """
 from __future__ import annotations
 
-# Unconditional audio generation (reference README.md:21-35): 9-level U-Net,
-# ×4096 total downsampling, self-attention at the 4 coarse levels.
-UNCONDITIONAL_48K = dict(
-    in_channels=2,
+# The 9-level U-Net geometry shared by every reference README config:
+# ×4096 total downsampling of 2^18-sample (≈5.5 s at 48 kHz) audio.
+_NET_9LEVEL = dict(
     channels=[8, 32, 64, 128, 256, 512, 512, 1024, 1024],
     factors=[1, 4, 4, 4, 2, 2, 2, 2, 2],
     items=[1, 2, 2, 2, 2, 2, 2, 4, 4],
+)
+
+# Unconditional audio generation (reference README.md:21-35): self-attention
+# at the 4 coarse levels.
+UNCONDITIONAL_48K = dict(
+    in_channels=2,
+    **_NET_9LEVEL,
     attentions=[0, 0, 0, 0, 0, 1, 1, 1, 1],
     attention_heads=8,
     attention_features=64,
@@ -44,12 +50,7 @@ TEXT_CONDITIONAL_48K = dict(
 # ×16 upsampler, e.g. 3 kHz -> 48 kHz (reference README.md:85-95 — no
 # attention levels in the reference snippet). Use with
 # DiffusionUpsampler(net_t=UNetV0, upsample_factor=16, **this).
-UPSAMPLER_16X = dict(
-    in_channels=2,
-    channels=[8, 32, 64, 128, 256, 512, 512, 1024, 1024],
-    factors=[1, 4, 4, 4, 2, 2, 2, 2, 2],
-    items=[1, 2, 2, 2, 2, 2, 2, 4, 4],
-)
+UPSAMPLER_16X = dict(in_channels=2, **_NET_9LEVEL)
 
 # Mel-spectrogram vocoder (reference README.md:112-124 — in_channels is
 # forced to 1 internally; no attention levels in the reference snippet).
@@ -59,21 +60,14 @@ VOCODER_48K = dict(
     mel_channels=80,
     mel_sample_rate=48000,
     mel_normalize_log=True,
-    channels=[8, 32, 64, 128, 256, 512, 512, 1024, 1024],
-    factors=[1, 4, 4, 4, 2, 2, 2, 2, 2],
-    items=[1, 2, 2, 2, 2, 2, 2, 4, 4],
+    **_NET_9LEVEL,
 )
 
 # Diffusion autoencoder with latent injection at depth 6
 # (reference README.md:139-160). Use with
 # DiffusionAE(encoder=MelEncoder1d(...), inject_depth=6, net_t=UNetV0,
 # **this).
-AUTOENCODER_48K = dict(
-    in_channels=2,
-    channels=[8, 32, 64, 128, 256, 512, 512, 1024, 1024],
-    factors=[1, 4, 4, 4, 2, 2, 2, 2, 2],
-    items=[1, 2, 2, 2, 2, 2, 2, 4, 4],
-)
+AUTOENCODER_48K = dict(in_channels=2, **_NET_9LEVEL)
 
 __all__ = [
     "UNCONDITIONAL_48K",

@@ -44,16 +44,25 @@ def _is_arraylike(v: Any) -> bool:
     return isinstance(v, (np.ndarray, jax.Array))
 
 
+def _is_text(v: Any) -> bool:
+    return (isinstance(v, (list, tuple)) and len(v) > 0
+            and all(isinstance(s, str) for s in v))
+
+
 def _signature(primary: np.ndarray, cond: Dict[str, Any],
                num_steps: int) -> Tuple:
     """Requests batch together iff their signatures are equal: same input
-    shape/dtype, same conditioning structure, identical static values."""
+    shape/dtype, same conditioning structure, identical static values.
+    Per-request data (arrays, text) contributes its STRUCTURE only — two
+    requests with different prompts still share one compiled program."""
     items: List[Tuple] = [("num_steps", num_steps),
                           ("primary", primary.shape, str(primary.dtype))]
     for k in sorted(cond):
         v = cond[k]
         if _is_arraylike(v):
             items.append((k, tuple(np.shape(v)), str(np.asarray(v).dtype)))
+        elif _is_text(v):
+            items.append((k, "text", len(v)))
         else:
             items.append((k, repr(v)))
     return tuple(items)
@@ -120,10 +129,28 @@ class GenerationService:
         """Enqueue one request. ``primary`` is the per-request array
         (noise for sample; low-rate audio for an upsampler; mel for a
         vocoder), WITHOUT the batch dimension: ``[channels, length]``.
-        Returns a Future resolving to the generated ``[channels, length]``
-        numpy array."""
+        Conditioning kwargs are per-request: arrays (stacked into the device
+        batch, no batch dim — e.g. ``embedding=[64, 768]``), ``text=`` as
+        one string (or a 1-element list), and scalars (which must be equal
+        across a batch and act as static config, e.g.
+        ``embedding_scale=5.0``). Returns a Future resolving to the
+        generated ``[channels, length]`` numpy array."""
         assert not self._closed, "service is closed"
         primary = np.asarray(primary)
+        if isinstance(cond.get("text"), str):
+            cond["text"] = [cond["text"]]
+        for k, v in cond.items():
+            if _is_text(v) and len(v) != 1:
+                raise ValueError(
+                    f"{k}= must hold exactly one string per request "
+                    f"(one request = one sample); got {len(v)}")
+            if not (_is_arraylike(v) or _is_text(v)
+                    or isinstance(v, (int, float, bool, str, type(None)))):
+                raise TypeError(
+                    f"unsupported conditioning value for {k}= "
+                    f"({type(v).__name__}): pass arrays, text, or scalars "
+                    "— structured conditioning (e.g. channels=[...]) "
+                    "isn't batchable; call the model directly")
         req = _Request(primary, cond, num_steps or self._num_steps)
         with self._stats_lock:
             self._n_requests += 1
@@ -228,6 +255,9 @@ class GenerationService:
                     cond[k] = np.stack(
                         [np.asarray(r.cond[k]) for r in reqs]
                         + [np.asarray(reqs[-1].cond[k])] * pad)
+                elif _is_text(v0):
+                    cond[k] = [r.cond[k][0] for r in reqs] + \
+                        [reqs[-1].cond[k][0]] * pad
                 else:
                     cond[k] = v0  # static: identical across the batch
             model = self._model
@@ -239,7 +269,10 @@ class GenerationService:
                 out = getattr(model, self._method)(
                     batch, num_steps=reqs[0].num_steps, **cond)
             finally:
-                if swapped:
+                # Restore only if nobody else wrote params meanwhile —
+                # a concurrent trainer's update must not be clobbered
+                # with the stale pre-batch tree.
+                if swapped and model.params is self._params:
                     model.params = prev
             host = np.asarray(jax.device_get(out))
             with self._stats_lock:

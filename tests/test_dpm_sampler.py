@@ -107,3 +107,29 @@ def test_dpm_in_task_model():
     out = up.sample(small, num_steps=3)
     assert out.shape == (1, 1, 64)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dpm_bf16_input():
+    """Regression: bf16 noise used to crash the scan (f32-promoted carry vs
+    bf16 init); the carry must stay in the caller's dtype."""
+    md = DiffusionModel(sampler_t=DPMSampler, dtype=jnp.bfloat16, **TINY)
+    noise = jax.random.normal(jax.random.key(0), (1, 2, LENGTH),
+                              jnp.bfloat16)
+    md.initialize(noise)
+    out = md.sample(noise, num_steps=4)
+    assert out.dtype == jnp.bfloat16
+    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+
+def test_uniform_lambda_schedule_two_steps():
+    """Regression: num_steps=2 used to place the single interior sigma at
+    0.95 (np.linspace(a, b, 1) == [a]) instead of the log-SNR midpoint."""
+    from audio_diffusion_tpu.diffusion.schedules import UniformLambdaSchedule
+
+    sig = np.asarray(UniformLambdaSchedule()(3))
+    assert sig[0] == 1.0 and sig[-1] == 0.0
+    assert 0.2 < sig[1] < 0.8, sig  # the lambda midpoint is sigma=0.5
+    # And the general grid stays strictly decreasing.
+    for n in (3, 9, 17, 51):
+        s = np.asarray(UniformLambdaSchedule()(n))
+        assert np.all(np.diff(s) < 0)

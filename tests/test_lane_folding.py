@@ -103,3 +103,17 @@ def test_folded_unet_odd_length():
     out = net.apply(params, x, sig)
     assert out.shape == (1, 2, 192)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_group_norm_large_offset_no_nan():
+    """Regression: the one-pass E[x^2]-E[x]^2 GroupNorm NaN'd when
+    |mean| >> std (moment cancellation drove the variance negative)."""
+    import numpy as np
+
+    from audio_diffusion_tpu.ops.unet import group_norm
+
+    x = 300.0 + 1e-3 * jax.random.normal(jax.random.key(0), (1, 1024, 32))
+    y = group_norm(x, f=1, groups=8, scale=jnp.ones(32), bias=jnp.zeros(32))
+    assert bool(jnp.all(jnp.isfinite(y)))
+    # Still normalizes: per-group output mean ~0.
+    assert float(jnp.abs(jnp.mean(y))) < 0.1

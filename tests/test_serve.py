@@ -103,3 +103,41 @@ def test_serves_task_model():
                            max_wait_ms=10.0) as svc:
         out = svc.submit(np.zeros((2, 128), np.float32)).result(timeout=120)
     assert out.shape == (2, 256)
+
+
+def test_text_conditional_serving():
+    """Regression: text= requests crashed (first request's 1-element list
+    met a batch-N primary). Different prompts must share one batch."""
+    from audio_diffusion_tpu.ops.text import StubTextEncoder
+
+    m = DiffusionModel(
+        net_t=UNetV0, in_channels=2, channels=[8, 16], factors=[1, 2],
+        items=[1, 1], attentions=[0, 1], cross_attentions=[0, 1],
+        attention_heads=2, attention_features=8, modulation_features=32,
+        use_text_conditioning=True, use_embedding_cfg=True,
+        embedding_max_length=8, embedding_features=16,
+        text_encoder=StubTextEncoder(max_length=8, features=16))
+    m.initialize(jnp.zeros((1, 2, 256)), text=["warmup"])
+    with GenerationService(m, num_steps=2, batch_size=2,
+                           max_wait_ms=200.0) as svc:
+        noise = np.random.default_rng(0).standard_normal(
+            (2, 256)).astype(np.float32)
+        f1 = svc.submit(noise, text="a dog barking", embedding_scale=3.0)
+        f2 = svc.submit(noise, text=["rain"], embedding_scale=3.0)
+        o1, o2 = f1.result(timeout=300), f2.result(timeout=300)
+    assert o1.shape == o2.shape == (2, 256)
+    assert np.isfinite(o1).all() and np.isfinite(o2).all()
+    # Same noise, different prompts -> different audio, one shared batch.
+    assert np.abs(o1 - o2).max() > 0
+    assert svc.stats["batches"] == 1
+
+
+def test_serve_rejects_structured_cond():
+    m = DiffusionModel(net_t=UNetV0, in_channels=2, channels=[8, 16],
+                       factors=[1, 2], items=[1, 1], modulation_features=32)
+    with GenerationService(m, num_steps=2, batch_size=1) as svc:
+        with pytest.raises(TypeError, match="structured conditioning"):
+            svc.submit(np.zeros((2, 256), np.float32),
+                       channels=[None, np.zeros((4, 64))])
+        with pytest.raises(ValueError, match="exactly one string"):
+            svc.submit(np.zeros((2, 256), np.float32), text=["a", "b"])
