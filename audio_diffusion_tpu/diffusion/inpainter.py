@@ -58,7 +58,11 @@ class VInpainter(Inpainter):
         if x_noisy is None:
             x_noisy = jax.random.normal(key_init, source.shape, source.dtype)
         b = x_noisy.shape[0]
-        sigmas = self.schedule(num_steps + 1).astype(x_noisy.dtype)  # [s+1]
+        assert num_resamples >= 1, (
+            "num_resamples must be >= 1 (0 would skip every denoising "
+            "step and return the starting noise unchanged)")
+        # f32 schedule/coefficients regardless of carry dtype (see VSampler).
+        sigmas = self.schedule(num_steps + 1).astype(jnp.float32)  # [s+1]
         alphas, betas = alpha_beta(sigmas)
         mask = mask.astype(bool)
 
@@ -66,7 +70,7 @@ class VInpainter(Inpainter):
             i, sig_i, a_i, b_i, a_next, b_next = scan_in
             for r in range(num_resamples):
                 v_pred = self.net.apply(
-                    params, x, jnp.full((b,), sig_i), **kwargs)
+                    params, x, jnp.full((b,), sig_i, x.dtype), **kwargs)
                 x_pred = a_i * x - b_i * v_pred
                 noise_pred = b_i * x + a_i * v_pred
                 # Stay at level i while resampling; step to i+1 on the last.
@@ -77,7 +81,7 @@ class VInpainter(Inpainter):
                 k = jax.random.fold_in(jax.random.fold_in(key_loop, r), i)
                 s_noisy = a_j * source + b_j * jax.random.normal(
                     k, source.shape, source.dtype)
-                x = jnp.where(mask, s_noisy, x)
+                x = jnp.where(mask, s_noisy, x).astype(x_noisy.dtype)
             return x, None
 
         xs = (jnp.arange(num_steps), sigmas[:-1],

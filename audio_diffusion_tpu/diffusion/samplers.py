@@ -71,15 +71,19 @@ class VSampler(Sampler):
         # loop-invariant code motion; bit-identical, see ops/net.py).
         params = cast_inference_params(
             params, getattr(self.net, "compute_dtype", None))
-        sigmas = self.schedule(num_steps + 1).astype(x_noisy.dtype)  # [s+1]
+        # Schedule/coefficient math stays f32 even for bf16 carries: bf16
+        # sigma points near 1.0 (ULP ~0.008) collapse adjacent steps and
+        # a²+β² drifts from 1 per step. Only the carry is in x dtype.
+        sigmas = self.schedule(num_steps + 1).astype(jnp.float32)  # [s+1]
         alphas, betas = alpha_beta(sigmas)
 
         def step(x, scan_in):
             sig, a0, b0, a1, b1 = scan_in
-            v_pred = self.net.apply(params, x, jnp.full((b,), sig), **kwargs)
+            v_pred = self.net.apply(params, x,
+                                    jnp.full((b,), sig, x.dtype), **kwargs)
             x_pred = a0 * x - b0 * v_pred
             noise_pred = b0 * x + a0 * v_pred
-            x_next = a1 * x_pred + b1 * noise_pred
+            x_next = (a1 * x_pred + b1 * noise_pred).astype(x.dtype)
             if show_progress:
                 jax.debug.print("Sampling (noise={s:.2f})", s=sig)
             return x_next, None
@@ -184,6 +188,10 @@ class ARVSampler(Sampler):
 
     def __init__(self, net: Net, in_channels: int, length: int, num_splits: int):
         assert length % num_splits == 0, "length must be divisible by num_splits"
+        assert num_splits % 2 == 0, (
+            "num_splits must be even: the sigma ladder keeps the first "
+            "half of the splits as clean context (reference "
+            "diffusion.py:215 n_half = n // 2)")
         self.net = net
         self.in_channels = in_channels
         self.length = length

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from ..diffusion import VDiffusion, VSampler, mse_loss
-from ..utils import Static, default, groupby
+from ..utils import default, groupby, split_static_kwargs
 
 __all__ = ["DiffusionModel", "EncoderBase", "AdapterBase"]
 
@@ -142,14 +142,9 @@ class DiffusionModel:
         """Call fn(**all_kwargs) under jit: array-valued kwargs traced,
         scalars static. One compiled program per (tag, static config,
         array-structure) combination."""
-        dynamic, static = {}, {}
-        for k, v in all_kwargs.items():
-            (dynamic if _contains_array(v) else static)[k] = v
         # Static values are wrapped (not converted): dict/list-valued kwargs
         # hash via a frozen key but reach fn with their original type.
-        static_items = tuple(sorted(
-            ((k, Static(v)) for k, v in static.items()),
-            key=lambda kv: kv[0]))
+        dynamic, static_items = split_static_kwargs(all_kwargs)
 
         if tag not in self._jit_cache:
             def run(dyn, stat_items):

@@ -25,6 +25,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
+# Canonical home is utils (shared with split_static_kwargs); re-exported
+# here for the historical import path.
+from ..utils import contains_array  # noqa: F401
+
 __all__ = ["Net", "contains_array", "cast_inference_params"]
 
 # Param leaves that must stay float32 even under a bf16 compute dtype:
@@ -55,18 +59,6 @@ def cast_inference_params(params: Dict, dtype) -> Dict:
         return leaf
 
     return jax.tree_util.tree_map_with_path(cast, params)
-
-
-def contains_array(v: Any) -> bool:
-    """True if the value (or any nested element) is an ndarray — used to
-    split traced vs static arguments at jit boundaries."""
-    if isinstance(v, (jnp.ndarray, np.ndarray)):
-        return True
-    if isinstance(v, dict):
-        return any(contains_array(e) for e in v.values())
-    if isinstance(v, (list, tuple)):
-        return any(contains_array(e) for e in v)
-    return False
 
 
 class Net:

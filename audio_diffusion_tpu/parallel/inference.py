@@ -30,6 +30,15 @@ def sample_length_sharded(model, noise: Array, num_steps: int,
     of the model's downsampling factors per shard).
     """
     assert model.params is not None, "initialize the model first"
+    if getattr(model.sampler, "needs_key", False):
+        # Keyed samplers (ARVSampler) have no per-request noise input to
+        # shard — their signature doesn't fit the length-sharded path.
+        raise NotImplementedError(
+            f"{type(model.sampler).__name__} consumes RNG and takes no "
+            "noise input; length-sharded sampling supports deterministic "
+            "samplers (VSampler, DPMSampler)")
+    assert key is None, (
+        "deterministic samplers take no key; the noise IS the randomness")
     kwargs = model._process_cond(kwargs)
     spec = NamedSharding(mesh, P(None, None, axis))
     noise = jax.device_put(noise, spec)
@@ -40,7 +49,11 @@ def sample_length_sharded(model, noise: Array, num_steps: int,
 
     # Route through the model's jit cache (static/dynamic kwarg split) so
     # repeated calls reuse the compiled program instead of re-jitting a
-    # fresh closure each time. One cache entry per (mesh, axis).
-    tag = f"sample_sharded:{id(mesh)}:{axis}"
+    # fresh closure each time. One cache entry per (mesh layout, axis);
+    # keyed on the mesh's content, not id() (ids are recycled after GC and
+    # could silently resurrect a stale compiled sharding).
+    mesh_key = (tuple(mesh.shape.items()),
+                tuple(d.id for d in mesh.devices.flat))
+    tag = f"sample_sharded:{mesh_key}:{axis}"
     return model._jitted(tag, run_sharded, params=model.params, x=noise,
                          num_steps=num_steps, **kwargs)

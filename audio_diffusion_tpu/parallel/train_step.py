@@ -17,7 +17,7 @@ from jax import Array
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.net import contains_array
-from ..utils import Static
+from ..utils import split_static_kwargs
 from .mesh import param_sharding_rules
 
 __all__ = ["TrainState", "make_train_step"]
@@ -177,10 +177,7 @@ def make_train_step(
     jit_cache = {}
 
     def train_step(state: TrainState, batch, **cond):
-        dyn = {k: v for k, v in cond.items() if contains_array(v)}
-        static = tuple(sorted(
-            ((k, Static(v)) for k, v in cond.items() if k not in dyn),
-            key=lambda kv: kv[0]))
+        dyn, static = split_static_kwargs(cond)
         if static not in jit_cache:
             def run(state, batch, dyn, _static=static):
                 merged = dict(dyn)

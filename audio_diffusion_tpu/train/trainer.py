@@ -43,6 +43,9 @@ class TrainerConfig:
     profile_start_step: int = 10
     profile_num_steps: int = 5
     debug_nans: bool = False
+    # Gradient accumulation: each optimizer step scans accum_steps
+    # microbatches (the batch's leading dim must be divisible by it).
+    accum_steps: int = 1
 
 
 class Trainer:
@@ -76,7 +79,8 @@ class Trainer:
 
         self._init_state_fn, self.train_step = make_train_step(
             model.loss, optimizer, mesh=mesh,
-            ema_decay=self.config.ema_decay)
+            ema_decay=self.config.ema_decay,
+            accum_steps=self.config.accum_steps)
         self.state: Optional[TrainState] = None
 
         self._ckpt_mgr = None
@@ -130,9 +134,17 @@ class Trainer:
 
         if self.state is None:
             self.init_state()
+        # Carry each leaf's sharding into the restore so a sharded (mesh)
+        # state comes back with the layout init_state established, instead
+        # of whatever placement orbax defaults to on this topology.
+        template = self._state_as_pytree()
+        restore_args = jax.tree.map(
+            lambda x: ocp.ArrayRestoreArgs(sharding=x.sharding)
+            if isinstance(x, jax.Array) else ocp.RestoreArgs(), template)
         restored = self._ckpt_mgr.restore(
             latest,
-            args=ocp.args.PyTreeRestore(self._state_as_pytree()))
+            args=ocp.args.PyTreeRestore(template,
+                                        restore_args=restore_args))
         self.state = TrainState(**restored)
         self.model.params = self.state.params
         return latest
@@ -150,6 +162,7 @@ class Trainer:
     # ----------------------------------------------------------------- fit
     def fit(self, batches: Iterable, num_steps: int, **cond) -> Dict:
         """Run `num_steps` steps over `batches`; returns the last metrics."""
+        prev_debug_nans = jax.config.jax_debug_nans
         if self.config.debug_nans:
             jax.config.update("jax_debug_nans", True)
         if self.state is None:
@@ -162,6 +175,7 @@ class Trainer:
         # Host-side step counter: reading the device-resident state.step
         # would force a sync every iteration and defeat async dispatch.
         step = int(self.state.step)
+        step_last_log = step
         profiling = False
         try:
             for i in range(num_steps):
@@ -184,8 +198,8 @@ class Trainer:
                     loss = float(metrics["loss"])
                     gnorm = float(metrics["grad_norm"])
                     now = time.perf_counter()
-                    sps = cfg.log_every / max(now - t_last, 1e-9)
-                    t_last = now
+                    sps = (step - step_last_log) / max(now - t_last, 1e-9)
+                    t_last, step_last_log = now, step
                     self.log_fn(
                         f"step {step}: loss={loss:.4f} "
                         f"grad_norm={gnorm:.3f} steps/s={sps:.2f}")
@@ -194,6 +208,8 @@ class Trainer:
                         and step % cfg.checkpoint_every == 0):
                     self.save_checkpoint(step)
         finally:
+            if self.config.debug_nans:  # don't leak the mode past fit()
+                jax.config.update("jax_debug_nans", prev_debug_nans)
             if profiling:  # fit ended inside the profile window
                 jax.profiler.stop_trace()
             if self._ckpt_mgr is not None:  # make async saves durable

@@ -72,6 +72,33 @@ class Static:
         return f"Static({self.value!r})"
 
 
+def contains_array(v) -> bool:
+    """True if the value (or any nested element) is an ndarray — used to
+    split traced vs static arguments at jit boundaries."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    if isinstance(v, (jnp.ndarray, np.ndarray)):
+        return True
+    if isinstance(v, dict):
+        return any(contains_array(e) for e in v.values())
+    if isinstance(v, (list, tuple)):
+        return any(contains_array(e) for e in v)
+    return False
+
+
+def split_static_kwargs(kwargs: dict):
+    """THE jit-boundary convention, shared by DiffusionModel's jit cache
+    and the train step: array-containing kwargs are traced (returned as the
+    `dynamic` dict), everything else becomes a sorted hashable tuple of
+    ``(name, Static(value))`` pairs that selects the compiled program."""
+    dynamic = {k: v for k, v in kwargs.items() if contains_array(v)}
+    static_items = tuple(sorted(
+        ((k, Static(v)) for k, v in kwargs.items() if k not in dynamic),
+        key=lambda kv: kv[0]))
+    return dynamic, static_items
+
+
 def exists(val: Optional[T]) -> bool:
     return val is not None
 

@@ -173,3 +173,19 @@ def test_gradient_accumulation_e2e_diffusion():
             model.loss, optax.adam(1e-3), accum_steps=3)
         s = bad_init(model.params, jax.random.key(2))
         bad_step(s, x)
+
+
+def test_length_sharded_rejects_key():
+    """Deterministic samplers take no key; a passed key must be rejected
+    loudly instead of silently dropped (regression)."""
+    from audio_diffusion_tpu.parallel import sample_length_sharded
+
+    mesh = create_mesh()
+    model = DiffusionModel(net_t=UNetV0, in_channels=1, channels=[8, 16],
+                           factors=[1, 2], items=[1, 1],
+                           modulation_features=32)
+    noise = jnp.zeros((1, 1, 256))
+    model.initialize(noise)
+    with pytest.raises(AssertionError, match="no key"):
+        sample_length_sharded(model, noise, num_steps=2, mesh=mesh,
+                              key=jax.random.key(0))

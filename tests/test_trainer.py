@@ -124,3 +124,57 @@ def test_trainer_with_static_cond_kwargs():
     metrics = trainer.fit(itertools.repeat(x), num_steps=2, embedding=emb,
                           embedding_mask_proba=0.1)
     assert jnp.isfinite(metrics["loss"])
+
+
+def test_checkpoint_roundtrip_with_mesh(tmp_path):
+    """Sharded state restores with the mesh shardings init_state
+    established (regression: restore used to omit restore_args, leaving
+    placement to orbax defaults)."""
+    mesh = create_mesh()
+    model = DiffusionModel(**TINY)
+    model.initialize(next(iter(_batches())))
+    cfg = TrainerConfig(checkpoint_dir=str(tmp_path / "ckpt"),
+                        checkpoint_every=3, log_every=100)
+    trainer = Trainer(model, cfg, mesh=mesh, log_fn=lambda s: None)
+    trainer.fit(_batches(), num_steps=3)
+    trainer.save_checkpoint(wait=True)
+    want = jax.tree_util.tree_map(np.array, trainer.state.params)
+
+    model2 = DiffusionModel(**TINY)
+    model2.initialize(next(iter(_batches())))
+    trainer2 = Trainer(model2, cfg, mesh=mesh, log_fn=lambda s: None)
+    assert trainer2.restore_latest() == 3
+    got = trainer2.state.params
+    for w, g in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_array_equal(w, np.array(g))
+    # Every restored leaf carries the mesh sharding the fresh init uses.
+    fresh = trainer2._init_state_fn(model2.params, jax.random.key(0))
+    for g, f in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(fresh.params)):
+        assert g.sharding == f.sharding, (g.sharding, f.sharding)
+    # And training continues from the restored state.
+    trainer2.fit(_batches(), num_steps=2)
+    assert int(trainer2.state.step) == 5
+
+
+def test_debug_nans_not_leaked():
+    """Regression: fit(debug_nans=True) used to leave jax_debug_nans on
+    process-wide after returning."""
+    model = DiffusionModel(**TINY)
+    model.initialize(next(iter(_batches())))
+    trainer = Trainer(model, TrainerConfig(debug_nans=True, log_every=100),
+                      log_fn=lambda s: None)
+    assert not jax.config.jax_debug_nans
+    trainer.fit(_batches(), num_steps=2)
+    assert not jax.config.jax_debug_nans
+
+
+def test_accum_steps_via_trainer_config():
+    """Gradient accumulation is reachable through TrainerConfig."""
+    model = DiffusionModel(**TINY)
+    model.initialize(next(iter(_batches())))
+    trainer = Trainer(model, TrainerConfig(accum_steps=2, log_every=100),
+                      log_fn=lambda s: None)
+    m = trainer.fit(_batches(batch_size=8), num_steps=2)
+    assert np.isfinite(float(m["loss"]))
