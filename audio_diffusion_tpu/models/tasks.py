@@ -72,6 +72,10 @@ class DiffusionAE(DiffusionModel):
     # ---------------------------------------------------------------- loss
     def loss(self, params: Dict, key: Array, x: Array,
              with_info: bool = False, **kwargs):
+        assert "channels" not in kwargs, (
+            "DiffusionAE owns the channels= conditioning (it injects its "
+            "encoder latent at inject_depth, reference models.py:103); "
+            "pass other context through the encoder or a different kwarg")
         latent, info = self.encoder.apply(params["encoder"], x, with_info=True)
         channels = [None] * self.inject_depth + [latent]
         x_in = self.adapter.encode(x) if exists(self.adapter) else x
@@ -89,6 +93,9 @@ class DiffusionAE(DiffusionModel):
 
     def decode(self, latent, key: Optional[Array] = None, **kwargs) -> Array:
         assert self.params is not None, "initialize the model first"
+        assert "channels" not in kwargs, (
+            "DiffusionAE.decode conditions on the given latent itself; "
+            "channels= cannot be overridden")
         latent = jnp.asarray(latent)
         key = key if key is not None else self.next_key()
 

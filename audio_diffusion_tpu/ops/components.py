@@ -106,9 +106,17 @@ def UNetV0(
             remat_policy=remat_policy, **unet_kwargs)
     elif dim == 2:
         from .unet2d import XUNet2d
+        assert not (use_pallas or use_remat or remat_policy), (
+            "use_pallas/use_remat/remat_policy are implemented for dim=1 "
+            "only; dropping them silently would disable requested "
+            "checkpointing")
         module = XUNet2d(**unet_kwargs)
     else:
         from .unet3d import XUNet3d
+        assert not (use_pallas or use_remat or remat_policy), (
+            "use_pallas/use_remat/remat_policy are implemented for dim=1 "
+            "only; dropping them silently would disable requested "
+            "checkpointing")
         module = XUNet3d(**unet_kwargs)
 
     if use_embedding_cfg:
@@ -200,6 +208,10 @@ def LTPlugin(net_t: Callable, num_filters: int, window_length: int,
             out_channels=out_channels,
             window_length=window_length,
             stride=stride,
+            # Follow the inner net's compute dtype: cast_inference_params
+            # casts ALL kernels (incl. encode/decode here) to it, so the
+            # framing convs must compute in it too.
+            dtype=inner_net.compute_dtype,
         )
         net = Net(module, in_channels=in_channels, out_channels=out_channels,
                   uses_sigma=inner_net.uses_sigma,

@@ -97,6 +97,29 @@ def group_norm(x: Array, f: int, groups: int, scale: Array, bias: Array,
     return y
 
 
+def _check_unused_kwargs(unused: dict) -> None:
+    """Unknown conditioning kwargs reaching the bare XUNet are usually a
+    misconfiguration. CFG knobs are a HARD error (the user asked for
+    guidance but the net has no CFG wrapper to honor it — silently
+    returning unguided samples is the worst outcome); anything else warns
+    (kept lenient so experimental pass-through kwargs don't break)."""
+    cfg_keys = {"embedding_scale", "embedding_mask_proba"}
+    bad = cfg_keys & unused.keys()
+    if bad:
+        raise TypeError(
+            f"{sorted(bad)} requires a net built with "
+            "use_embedding_cfg=True (reference components.py:66-69); this "
+            "net has no CFG plugin, so guidance would be silently skipped")
+    unknown = set(unused) - {"key"}
+    if unknown:
+        import warnings
+
+        warnings.warn(
+            f"conditioning kwargs {sorted(unknown)} are not consumed by "
+            "this net (typo, or a plugin that would consume them is not "
+            "enabled)", stacklevel=2)
+
+
 def _declare_resnet_params(module: nn.Module, channels: int, param_dtype):
     """Declare the 8 resnet-item parameters (shared by ResnetItem and
     ResnetModItem so their trees/math stay in lockstep by construction)."""
@@ -207,16 +230,10 @@ class ResnetModItem(nn.Module):
     @nn.compact
     def __call__(self, x: Array, features: Optional[Array] = None) -> Array:
         c, f = self.channels, self.fold
+        (gn1_s, gn1_b, k1, b1, gn2_s, gn2_b, k2, b2) = _declare_resnet_params(
+            self, c, self.param_dtype)
         p = lambda name, shape, init: self.param(  # noqa: E731
             name, init, shape, self.param_dtype)
-        gn1_s = p("gn1_scale", (c,), nn.initializers.ones)
-        gn1_b = p("gn1_bias", (c,), nn.initializers.zeros)
-        k1 = p("conv1_kernel", (3, c, c), nn.initializers.lecun_normal())
-        b1 = p("conv1_bias", (c,), nn.initializers.zeros)
-        gn2_s = p("gn2_scale", (c,), nn.initializers.ones)
-        gn2_b = p("gn2_bias", (c,), nn.initializers.zeros)
-        k2 = p("conv2_kernel", (3, c, c), nn.initializers.lecun_normal())
-        b2 = p("conv2_bias", (c,), nn.initializers.zeros)
         cast = (lambda a: a.astype(self.dtype)) if self.dtype else (lambda a: a)
 
         mods = modb = mg_s = mg_b = None
@@ -550,6 +567,7 @@ class XUNet(nn.Module):
         channels: Optional[Sequence[Optional[Array]]] = None,
         **unused_kwargs,
     ) -> Array:
+        _check_unused_kwargs(unused_kwargs)
         num_levels = len(self.channels)
         contexts: Sequence[Optional[Array]] = default(
             channels, [None] * num_levels)

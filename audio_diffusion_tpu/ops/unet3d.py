@@ -207,6 +207,9 @@ class XUNet3d(nn.Module):
         channels: Optional[Sequence[Optional[Array]]] = None,
         **unused_kwargs,
     ) -> Array:
+        from .unet import _check_unused_kwargs
+
+        _check_unused_kwargs(unused_kwargs)
         num_levels = len(self.channels)
         total_factor = 1
         for f_ in self.factors:

@@ -153,3 +153,50 @@ def test_sample_key_on_deterministic_sampler_rejected():
     import pytest as _pytest
     with _pytest.raises(AssertionError, match="deterministic"):
         model.sample(x, num_steps=2, key=jax.random.key(1))
+
+
+def test_lt_plugin_bf16_sampling():
+    """Regression: LTPlugin dropped the inner net's compute dtype, so bf16
+    sampling crashed (f32 activations met bf16-cast framing kernels)."""
+    from audio_diffusion_tpu import LTPlugin
+
+    model = DiffusionModel(
+        net_t=LTPlugin(UNetV0, num_filters=4, window_length=8, stride=4),
+        in_channels=1, dtype=jnp.bfloat16, **TINY_NET)
+    x = jax.random.normal(jax.random.key(0), (1, 1, 256))
+    _ = model(x)
+    out = model.sample(x, num_steps=2)
+    assert out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+
+def test_guidance_without_cfg_raises():
+    """Regression: embedding_scale on a CFG-less net used to be silently
+    dropped (unguided samples with no warning)."""
+    model = DiffusionModel(net_t=UNetV0, in_channels=1, **TINY_NET)
+    x = jax.random.normal(jax.random.key(0), (1, 1, 256))
+    _ = model(x)
+    with pytest.raises(TypeError, match="use_embedding_cfg"):
+        model.sample(x, num_steps=2, embedding_scale=5.0)
+
+
+def test_ae_channels_kwarg_rejected():
+    """Regression: a user-passed channels= crashed deep inside with
+    'multiple values for keyword argument'."""
+    enc = MelEncoder1d(in_channels=2, channels=32, out_channels=4,
+                       factors=[2], num_blocks=[1], mel_channels=16,
+                       mel_n_fft=64, mel_sample_rate=16000)
+    ae = DiffusionAE(net_t=UNetV0, in_channels=2, encoder=enc,
+                     inject_depth=1, channels=[8, 16], factors=[1, 32],
+                     items=[1, 1], modulation_features=32)
+    x = jax.random.normal(jax.random.key(0), (1, 2, 1024))
+    with pytest.raises(AssertionError, match="owns the channels"):
+        ae(x, channels=[None, jnp.zeros((1, 4, 32))])
+
+
+def test_dim2_remat_flags_rejected():
+    """Regression: use_remat/use_pallas were silently dropped for dim=2/3
+    (requested checkpointing never happened)."""
+    with pytest.raises(AssertionError, match="dim=1"):
+        DiffusionModel(net_t=UNetV0, dim=2, in_channels=1, use_remat=True,
+                       **TINY_NET)
