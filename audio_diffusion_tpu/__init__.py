@@ -20,6 +20,7 @@ from .diffusion import (
     VSampler,
 )
 from . import presets
+from .distill import ProgressiveDistiller
 from .serve import GenerationService
 from .dsp import MelSpectrogram
 from .models import (
@@ -41,6 +42,7 @@ __version__ = "0.1.0"
 __all__ = [
     "presets",
     "GenerationService",
+    "ProgressiveDistiller",
     # reference public API (reference __init__.py:1-20)
     "LTPlugin",
     "MelSpectrogram",

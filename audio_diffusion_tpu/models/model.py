@@ -172,7 +172,13 @@ class DiffusionModel:
         argument is injected for samplers that consume RNG (ARVSampler)."""
         kwargs = self._process_cond(kwargs)
         if self.params is None and args and _contains_array(args[0]):
-            self._auto_init(args[0], kwargs)
+            # Only net-conditioning kwargs participate in initialization;
+            # sampler-consumed names (num_steps, show_progress, ...) must
+            # not leak into the net's init kwargs.
+            sampler_named = set(inspect.signature(
+                type(self.sampler).sample).parameters) - {"kwargs"}
+            self._auto_init(args[0], {k: v for k, v in kwargs.items()
+                                      if k not in sampler_named})
         assert self.params is not None, (
             "initialize the model first (call model(x) or model.initialize)")
         # Bind positional args to the sampler's parameter names so they can
