@@ -49,10 +49,24 @@ def _load_lib() -> ctypes.CDLL:
                 f"native source {_SRC} missing — broken installation")
         so = _build_dir() / "libwavio.so"
         if not so.exists() or _SRC.stat().st_mtime > so.stat().st_mtime:
-            subprocess.run(
-                ["g++", "-O3", "-Wall", "-fPIC", "-std=c++17", "-shared",
-                 "-o", str(so), str(_SRC)],
-                check=True, capture_output=True)
+            # Compile to a per-pid temp path and rename into place:
+            # os.replace is atomic, so concurrent processes (multi-host
+            # launches) never dlopen a half-written library.
+            tmp = so.with_suffix(f".so.{os.getpid()}.tmp")
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-Wall", "-fPIC", "-std=c++17",
+                     "-shared", "-o", str(tmp), str(_SRC)],
+                    check=True, capture_output=True)
+                os.replace(tmp, so)
+            except (subprocess.CalledProcessError, FileNotFoundError):
+                # No/broken compiler: a shipped .so (even with an older
+                # mtime — checkouts don't preserve relative mtimes) beats
+                # failing outright.
+                if not so.exists():
+                    raise
+            finally:
+                tmp.unlink(missing_ok=True)
         lib = ctypes.CDLL(str(so))
         lib.wav_probe.restype = ctypes.c_int
         lib.wav_probe.argtypes = [
@@ -160,6 +174,12 @@ class AudioDataset:
             host_id = host_id if host_id is not None else jax.process_index()
             num_hosts = (num_hosts if num_hosts is not None
                          else jax.process_count())
+            # Resolve the channel count from the GLOBAL first file before
+            # sharding: per-shard inference could give hosts different
+            # channel counts (mixed mono/stereo sets) and thus mismatched
+            # batch shapes inside cross-host collectives.
+            if channels is None:
+                channels = wav_probe(files[0])[0]
             files = files[host_id::num_hosts] or files  # tiny sets: share
             seed = seed * max(num_hosts, 1) + host_id  # decorrelated crops
 
@@ -174,8 +194,13 @@ class AudioDataset:
         self.frames: List[int] = []
         self.channels = channels
         self.sample_rate: Optional[int] = None
+        skipped = 0
         for f in files:
-            c, sr, n = wav_probe(f)
+            try:
+                c, sr, n = wav_probe(f)
+            except IOError:
+                skipped += 1  # undecodable (ADPCM/a-law/...) or corrupt
+                continue
             if self.channels is None:
                 self.channels = c
             if self.sample_rate is None:
@@ -183,17 +208,23 @@ class AudioDataset:
             if c == self.channels and n >= crop_frames:
                 self.files.append(f)
                 self.frames.append(n)
+        if skipped:
+            import warnings
+
+            warnings.warn(f"AudioDataset skipped {skipped} undecodable "
+                          "WAV file(s) (unsupported format or corrupt "
+                          "header)", stacklevel=2)
         if not self.files:
             raise ValueError(
                 f"no usable files (need ≥{crop_frames} frames, "
                 f"{self.channels} channels)")
 
-    def _make_batch(self) -> np.ndarray:
+    def _make_batch(self, rng: np.random.Generator) -> np.ndarray:
         lib = _load_lib()
         b, c, t = self.batch_size, self.channels, self.crop_frames
-        idx = self._rng.integers(0, len(self.files), b)
+        idx = rng.integers(0, len(self.files), b)
         starts = np.array(
-            [self._rng.integers(0, self.frames[i] - t + 1) for i in idx],
+            [rng.integers(0, self.frames[i] - t + 1) for i in idx],
             np.int64)
         paths = (ctypes.c_char_p * b)(
             *[str(self.files[i]).encode() for i in idx])
@@ -208,11 +239,16 @@ class AudioDataset:
     def __iter__(self) -> Iterator[np.ndarray]:
         q: "queue.Queue" = queue.Queue(maxsize=self._prefetch)
         stop = threading.Event()
+        # Each iterator's worker gets its OWN generator (numpy Generators
+        # are not thread-safe; overlapping iterators would corrupt shared
+        # state). Seeds derive from the dataset RNG, so iteration order
+        # stays deterministic for a fixed construction seed.
+        rng = np.random.default_rng(self._rng.integers(0, 2**63))
 
         def worker():
             try:
                 while not stop.is_set():
-                    q.put(self._make_batch())
+                    q.put(self._make_batch(rng))
             except Exception as e:  # surface in consumer
                 q.put(e)
 

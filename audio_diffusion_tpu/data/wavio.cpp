@@ -61,7 +61,15 @@ bool read_header(FILE* f, WavInfo* info) {
       if (fseek(f, (long)((size + 1) & ~1u), SEEK_CUR) != 0) break;
     }
   }
-  return have_fmt && have_data && info->channels > 0 && info->bits > 0;
+  if (!(have_fmt && have_data && info->channels > 0)) return false;
+  // Admit only the combinations convert() can decode; anything else
+  // (ADPCM, a-law, float64, bits < 8, ...) must fail at PROBE time, not
+  // hours later mid-training — and bits < 8 would divide by zero in the
+  // frame-count math.
+  const bool pcm = info->format == 1 &&
+      (info->bits == 16 || info->bits == 24 || info->bits == 32);
+  const bool ieee = info->format == 3 && info->bits == 32;
+  return pcm || ieee;
 }
 
 // Convert interleaved raw samples to planar float32 [channels, frames].

@@ -164,8 +164,11 @@ def _xunet(mod) -> Dict:
             tree[name] = _item_stack(child)
         elif name.startswith("skip_"):
             if hasattr(child, "Dense_0") and child.Dense_0.weight.ndim == 3:
-                tree[name] = {"Dense_0": _dense_from_conv1x1(child.Dense_0)}
+                # TSkipCat (1x1 conv): flax SkipCat declares kernel/bias at
+                # the TOP level of the skip module, not under Dense_0.
+                tree[name] = _dense_from_conv1x1(child.Dense_0)
             else:
+                # TSkipModulate: a zero-init gate nn.Dense named Dense_0.
                 tree[name] = {"Dense_0": _dense_from_linear(child.Dense_0)}
     return tree
 

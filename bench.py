@@ -160,7 +160,8 @@ def main():
         "metric": "vsampler_steps_per_sec_2e18_stereo_9level",
         "value": round(steps_per_sec, 3),
         "unit": "net_steps/sec",
-        "vs_baseline": round(vs_baseline, 4) if vs_baseline else None,
+        "vs_baseline": (round(vs_baseline, 4)
+                        if vs_baseline is not None else None),
     }))
 
 

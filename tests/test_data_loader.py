@@ -168,3 +168,26 @@ def test_wav_write_mono_1d(tmp_path):
     wav_write(path, data, sample_rate=16000)
     c, sr, n = wav_probe(path)
     assert (c, sr, n) == (1, 16000, 500)
+
+
+def test_probe_rejects_unsupported_format(tmp_path):
+    """Regression: undecodable formats (ADPCM etc.) and bits<8 must fail at
+    probe time (bits=4 used to divide by zero in the frame-count math)."""
+    import struct
+
+    p = tmp_path / "adpcm.wav"
+    # Minimal RIFF/WAVE with fmt: format=17 (IMA ADPCM), bits=4.
+    fmt = struct.pack("<HHIIHH", 17, 1, 16000, 8000, 1, 4)
+    data = b"\x00" * 64
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    p.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE"
+                  + body)
+    with pytest.raises(IOError):
+        wav_probe(p)
+
+    # AudioDataset skips it (with a warning) instead of crashing.
+    _write_wav(tmp_path / "good.wav", np.zeros((1, 500), np.float32))
+    with pytest.warns(UserWarning, match="skipped 1 undecodable"):
+        ds = AudioDataset(tmp_path, crop_frames=100, batch_size=1)
+    assert len(ds.files) == 1

@@ -179,3 +179,18 @@ def test_forward_parity_full_readme_geometry():
     err = np.abs(out_j - out_t).max()
     mse = float(np.mean((out_j - out_t) ** 2))
     assert mse <= 1e-3 and err < 5e-2, f"MSE {mse}, max err {err}"
+
+
+def test_forward_parity_no_modulation():
+    """SkipCat path (use_modulation=False): regression — the importer used
+    to nest the skip kernel under Dense_0 where flax SkipCat declares it
+    top-level."""
+    model, oracle = build_pair(use_modulation=False,
+                               use_time_conditioning=False)
+    x = np.random.default_rng(0).standard_normal(
+        (2, 2, LENGTH)).astype(np.float32)
+    init_from_oracle(model, oracle, jnp.asarray(x))
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.net.apply(model.params["net"], jnp.asarray(x)))
+    assert np.mean((got - want) ** 2) < 1e-9, np.abs(got - want).max()
