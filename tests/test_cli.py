@@ -1,0 +1,65 @@
+"""CLI: train on a tiny WAV directory, then sample from the saved model."""
+import json
+import wave
+
+import numpy as np
+import pytest
+
+from audio_diffusion_tpu.cli import main
+
+
+def _write_wav(path, frames=2048, channels=1, sr=8000, seed=0):
+    rng = np.random.default_rng(seed)
+    data = (rng.standard_normal((frames, channels)) * 0.1 * 32767).astype(
+        np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(data.tobytes())
+
+
+@pytest.fixture()
+def tiny_setup(tmp_path):
+    data = tmp_path / "data"
+    data.mkdir()
+    for i in range(3):
+        _write_wav(data / f"{i}.wav", seed=i)
+    cfg = tmp_path / "tiny.json"
+    cfg.write_text(json.dumps(dict(
+        in_channels=1, channels=[8, 16], factors=[1, 2], items=[1, 1],
+        modulation_features=32)))
+    return data, cfg, tmp_path
+
+
+def test_cli_train_then_sample(tiny_setup):
+    data, cfg, tmp = tiny_setup
+    run = tmp / "run"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(run), "--steps", "3", "--batch", "2",
+          "--crop", "512", "--log-every", "2", "--checkpoint-every", "2"])
+    assert (run / "model").exists()
+
+    out = tmp / "samples"
+    main(["sample", "--model", str(run / "model"), "--preset", str(cfg),
+          "--out", str(out), "--num", "2", "--steps", "2",
+          "--sampler", "dpm", "--length", "512", "--sample-rate", "8000"])
+    wavs = sorted(out.glob("*.wav"))
+    assert len(wavs) == 2
+    from audio_diffusion_tpu.data import wav_probe
+
+    c, sr, n = wav_probe(wavs[0])
+    assert (c, sr, n) == (1, 8000, 512)
+
+
+def test_cli_unknown_preset_errors(tmp_path):
+    with pytest.raises(SystemExit, match="unknown preset"):
+        main(["sample", "--model", "x", "--preset", "NOPE",
+              "--out", str(tmp_path)])
+
+
+def test_cli_named_preset_resolves():
+    from audio_diffusion_tpu.cli import _resolve_config
+
+    cfg = _resolve_config("unconditional_48k")
+    assert cfg["in_channels"] == 2 and len(cfg["channels"]) == 9
