@@ -9,6 +9,7 @@ from .diffusion import (
     Diffusion,
     Distribution,
     DPMSampler,
+    SDESampler,
     Inpainter,
     LinearSchedule,
     Sampler,
@@ -59,6 +60,7 @@ __all__ = [
     "VInpainter",
     "VSampler",
     "DPMSampler",
+    "SDESampler",
     "DiffusionAE",
     "DiffusionAR",
     "DiffusionModel",

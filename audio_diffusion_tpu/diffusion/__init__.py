@@ -1,7 +1,8 @@
 from .core import alpha_beta, clip, extend_dim, pad_dims
 from .distributions import Distribution, UniformDistribution
 from .inpainter import Inpainter, VInpainter
-from .samplers import ARVSampler, DPMSampler, Sampler, VSampler
+from .samplers import (ARVSampler, DPMSampler, Sampler, SDESampler,
+                       VSampler)
 from .schedules import LinearSchedule, Schedule, UniformLambdaSchedule
 from .vdiffusion import ARVDiffusion, Diffusion, VDiffusion, mse_loss
 
@@ -22,6 +23,7 @@ __all__ = [
     "Sampler",
     "VSampler",
     "DPMSampler",
+    "SDESampler",
     "ARVSampler",
     "Inpainter",
     "VInpainter",

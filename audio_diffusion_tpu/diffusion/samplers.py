@@ -95,6 +95,66 @@ class VSampler(Sampler):
         return x
 
 
+class SDESampler(Sampler):
+    """Stochastic (ancestral) variant of the angular v-sampler.
+
+    BEYOND-REFERENCE (the reference ships only the deterministic VSampler,
+    diffusion.py:158-190). Interpolates between DDIM and full ancestral
+    sampling via ``eta``: at each step the predicted noise is mixed with
+    FRESH Gaussian noise,
+
+        n_mix = sqrt(1 - eta²)·n_pred + eta·ε,   ε ~ N(0, I)
+        x     = α_{i+1}·x_pred + β_{i+1}·n_mix
+
+    eta=0 reproduces VSampler exactly (bit-for-bit, tested); eta=1 redraws
+    the full noise each step (ancestral / maximal churn). Stochasticity
+    can improve sample diversity and corrects accumulated solver error at
+    moderate step counts. Consumes an RNG key (needs_key)."""
+
+    diffusion_types = [VDiffusion]
+    needs_key = True
+
+    def __init__(self, net: Net, schedule: Optional[Schedule] = None,
+                 eta: float = 1.0):
+        assert 0.0 <= eta <= 1.0, f"eta must be in [0, 1], got {eta}"
+        self.net = net
+        self.schedule = schedule or LinearSchedule()
+        self.eta = eta
+
+    def sample(self, params: Dict, key: Array, x_noisy: Array,
+               num_steps: int, show_progress: bool = False,
+               unroll: int = 1, **kwargs) -> Array:
+        b = x_noisy.shape[0]
+        params = cast_inference_params(
+            params, getattr(self.net, "compute_dtype", None))
+        sigmas = self.schedule(num_steps + 1).astype(jnp.float32)
+        alphas, betas = alpha_beta(sigmas)
+        mix_fresh = jnp.float32(self.eta)
+        mix_pred = jnp.sqrt(jnp.maximum(1.0 - mix_fresh**2, 0.0))
+
+        def step(carry, scan_in):
+            x, k = carry
+            sig, a0, b0, a1, b1 = scan_in
+            k, k_eps = jax.random.split(k)
+            v_pred = self.net.apply(params, x,
+                                    jnp.full((b,), sig, x.dtype), **kwargs)
+            x_pred = a0 * x - b0 * v_pred
+            noise_pred = b0 * x + a0 * v_pred
+            # No churn into the final clean state: β_{i+1}=0 kills the
+            # noise term on the last step anyway, so this is safe at every
+            # step of the standard 1→0 schedule.
+            eps = jax.random.normal(k_eps, x.shape, x.dtype)
+            n_mix = mix_pred * noise_pred + mix_fresh * eps
+            x_next = (a1 * x_pred + b1 * n_mix).astype(x.dtype)
+            if show_progress:
+                jax.debug.print("Sampling (noise={s:.2f})", s=sig)
+            return (x_next, k), None
+
+        xs = (sigmas[:-1], alphas[:-1], betas[:-1], alphas[1:], betas[1:])
+        (x, _), _ = lax.scan(step, (x_noisy, key), xs, unroll=unroll)
+        return x
+
+
 class DPMSampler(Sampler):
     """DPM-Solver++(2M) for the trigonometric v-parameterization — a
     second-order multistep ODE solver (Lu et al. 2022, arXiv:2211.01095,
