@@ -26,26 +26,38 @@ from typing import Dict, Optional
 __all__ = ["main"]
 
 
+# Named presets this CLI can drive end-to-end. The task-model presets
+# (UPSAMPLER/VOCODER/AUTOENCODER) need their task classes and conditioning
+# inputs, and TEXT_CONDITIONAL needs caption plumbing — use the Python API
+# for those (README "Upsampler / Vocoder / Autoencoder" section).
+_CLI_PRESETS = ("UNCONDITIONAL_48K",)
+
+
 def _resolve_config(preset: str) -> Dict:
     from . import presets
 
-    if hasattr(presets, preset.upper()):
-        return dict(getattr(presets, preset.upper()))
+    name = preset.upper()
+    if name in _CLI_PRESETS:
+        return dict(getattr(presets, name))
     p = Path(preset)
     if p.exists():
         return json.loads(p.read_text())
-    names = ", ".join(presets.__all__)
+    if hasattr(presets, name):
+        raise SystemExit(
+            f"preset {preset!r} is a task-model/text config that needs the "
+            "Python API (DiffusionUpsampler/DiffusionVocoder/DiffusionAE "
+            "classes or text= conditioning); this CLI drives plain "
+            f"DiffusionModel configs: {', '.join(_CLI_PRESETS)} or a JSON "
+            "kwargs file")
     raise SystemExit(
-        f"unknown preset {preset!r}: pass one of [{names}] or a path to a "
-        "JSON file of model kwargs")
+        f"unknown preset {preset!r}: pass one of "
+        f"[{', '.join(_CLI_PRESETS)}] or a path to a JSON file of model "
+        "kwargs")
 
 
-def _build_model(preset: str, sampler: str, in_channels: Optional[int]):
+def _build_model(cfg: Dict, sampler: str):
     from . import DiffusionModel, DPMSampler, UNetV0, VSampler
 
-    cfg = _resolve_config(preset)
-    if in_channels is not None:
-        cfg["in_channels"] = in_channels
     sampler_t = {"v": VSampler, "dpm": DPMSampler}[sampler]
     return DiffusionModel(net_t=UNetV0, sampler_t=sampler_t, **cfg)
 
@@ -61,19 +73,30 @@ def _cmd_train(args) -> None:
                       batch_size=args.batch, seed=args.seed)
     print(f"dataset: {len(ds.files)} files, {ds.channels} ch @ "
           f"{ds.sample_rate} Hz, crop {args.crop}")
-    model = _build_model(args.preset, "v", ds.channels)
+    cfg = _resolve_config(args.preset)
+    cfg["in_channels"] = ds.channels  # the data decides the channel count
+    model = _build_model(cfg, "v")
     model.initialize(jnp.zeros((1, ds.channels, args.crop)))
 
     out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    # Persist the RESOLVED config (incl. the channel override and the
+    # training sample rate) so `sample` rebuilds the exact same net.
+    (out / "config.json").write_text(json.dumps(
+        {**cfg, "_sample_rate": ds.sample_rate}, indent=1))
     trainer = Trainer(model, TrainerConfig(
         learning_rate=args.lr, ema_decay=args.ema_decay,
         checkpoint_dir=str(out / "ckpts"),
         checkpoint_every=args.checkpoint_every, log_every=args.log_every,
         accum_steps=args.accum_steps), mesh=create_mesh())
     resumed = trainer.restore_latest()
+    remaining = args.steps
     if resumed is not None:
-        print(f"resumed from step {resumed}")
-    trainer.fit(iter(ds), num_steps=args.steps)
+        # --steps is the TOTAL budget: a preempted job finishes the
+        # remainder instead of re-running the full count.
+        remaining = max(args.steps - resumed, 0)
+        print(f"resumed from step {resumed}; {remaining} steps remain")
+    trainer.fit(iter(ds), num_steps=remaining)
     if args.ema_decay is not None:
         # Export the EMA weights (sampling quality) as the saved model.
         model.params = trainer.ema_params
@@ -87,7 +110,20 @@ def _cmd_sample(args) -> None:
 
     from .data import wav_write
 
-    model = _build_model(args.preset, args.sampler, args.in_channels)
+    run_cfg = Path(args.model).parent / "config.json"
+    if args.preset is not None:
+        cfg = _resolve_config(args.preset)
+    elif run_cfg.exists():
+        cfg = json.loads(run_cfg.read_text())
+    else:
+        raise SystemExit(
+            f"no {run_cfg} next to the model dir — pass --preset "
+            "(the config used for training)")
+    sample_rate = args.sample_rate or cfg.pop("_sample_rate", None) or 48000
+    cfg.pop("_sample_rate", None)
+    if args.in_channels is not None:
+        cfg["in_channels"] = args.in_channels
+    model = _build_model(cfg, args.sampler)
     c = model.net.in_channels
     model.initialize(jax.numpy.zeros((1, c, args.length)))
     model.load(args.model)
@@ -97,10 +133,9 @@ def _cmd_sample(args) -> None:
         noise = np.random.default_rng(args.seed + i).standard_normal(
             (1, c, args.length)).astype(np.float32)
         audio = np.asarray(model.sample(noise, num_steps=args.steps))[0]
-        wav_write(out / f"sample_{args.seed + i}.wav", audio,
-                  args.sample_rate)
+        wav_write(out / f"sample_{args.seed + i}.wav", audio, sample_rate)
     print(f"wrote {args.num} samples ({args.steps}-step "
-          f"{args.sampler}) to {out}")
+          f"{args.sampler}, {sample_rate} Hz) to {out}")
 
 
 def main(argv=None) -> None:
@@ -127,15 +162,18 @@ def main(argv=None) -> None:
     s = sub.add_parser("sample", help="generate WAVs from a trained model")
     s.add_argument("--model", required=True,
                    help="model dir saved by `train` (…/model)")
-    s.add_argument("--preset", required=True,
-                   help="the SAME preset/JSON used for training")
+    s.add_argument("--preset", default=None,
+                   help="preset/JSON config; defaults to the config.json "
+                        "recorded next to the model dir by `train`")
     s.add_argument("--out", required=True)
     s.add_argument("--num", type=int, default=1)
     s.add_argument("--steps", type=int, default=50)
     s.add_argument("--sampler", choices=("v", "dpm"), default="v")
     s.add_argument("--length", type=int, default=2**18)
     s.add_argument("--in-channels", type=int, default=None)
-    s.add_argument("--sample-rate", type=int, default=48_000)
+    s.add_argument("--sample-rate", type=int, default=None,
+                   help="defaults to the training data's rate "
+                        "(from config.json), else 48000")
     s.add_argument("--seed", type=int, default=0)
     s.set_defaults(fn=_cmd_sample)
 

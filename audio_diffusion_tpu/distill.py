@@ -141,7 +141,13 @@ class ProgressiveDistiller:
         init_state, train_step = make_train_step(
             lambda p, k, x, **c: loss(p["net"], k, x, **c),
             self.optimizer, mesh=self.mesh)
-        state = init_state(self.model.params, self.model.next_key())
+        # The train step DONATES the state; seeding it with the live
+        # model.params arrays would delete them (and the teacher closure
+        # aliases them too) on step 1 — a mid-stage abort would brick the
+        # model. Hand the student a fresh copy instead.
+        student0 = jax.tree.map(lambda a: jnp.array(a, copy=True),
+                                self.model.params)
+        state = init_state(student0, self.model.next_key())
         metrics: Dict = {}
         it = iter(batches)
         for i in range(num_train_steps):

@@ -89,7 +89,9 @@ class DiffusionModel:
 
         assert self.params is not None, "no params to save"
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(Path(path).absolute(), self.params)
+        # force=True: re-saving to the same path must overwrite, not crash
+        # (the CLI resume flow re-exports after continuing training).
+        ckptr.save(Path(path).absolute(), self.params, force=True)
         ckptr.wait_until_finished()
 
     def load(self, path) -> Dict:

@@ -60,7 +60,8 @@ def _signature(primary: np.ndarray, cond: Dict[str, Any],
     for k in sorted(cond):
         v = cond[k]
         if _is_arraylike(v):
-            items.append((k, tuple(np.shape(v)), str(np.asarray(v).dtype)))
+            # .dtype/.shape read without any device->host transfer.
+            items.append((k, tuple(v.shape), str(v.dtype)))
         elif _is_text(v):
             items.append((k, "text", len(v)))
         else:
@@ -115,6 +116,7 @@ class GenerationService:
         self._params = params
         self._queue: "queue_mod.Queue" = queue_mod.Queue()
         self._closed = False
+        self._submit_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self._n_requests = 0
         self._n_served = 0
@@ -135,7 +137,6 @@ class GenerationService:
         across a batch and act as static config, e.g.
         ``embedding_scale=5.0``). Returns a Future resolving to the
         generated ``[channels, length]`` numpy array."""
-        assert not self._closed, "service is closed"
         primary = np.asarray(primary)
         if isinstance(cond.get("text"), str):
             cond["text"] = [cond["text"]]
@@ -152,9 +153,15 @@ class GenerationService:
                     "— structured conditioning (e.g. channels=[...]) "
                     "isn't batchable; call the model directly")
         req = _Request(primary, cond, num_steps or self._num_steps)
-        with self._stats_lock:
-            self._n_requests += 1
-        self._queue.put(req)
+        # The closed-check and enqueue are one atomic step vs close():
+        # otherwise a request enqueued after the worker's final drain
+        # would hold an unresolved future forever.
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("service is closed")
+            with self._stats_lock:
+                self._n_requests += 1
+            self._queue.put(req)
         return req.future
 
     def generate(self, primary=None, *, length: Optional[int] = None,
@@ -185,10 +192,11 @@ class GenerationService:
 
     def close(self, timeout: Optional[float] = 60.0) -> None:
         """Drain pending requests and stop the worker."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(None)  # sentinel
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)  # sentinel
         self._worker.join(timeout)
 
     def __enter__(self):
@@ -237,11 +245,19 @@ class GenerationService:
             now = time.monotonic()
             for sig in list(buckets):
                 reqs = buckets[sig]
-                if (len(reqs) >= self._batch_size or done
-                        or reqs[0].t_enqueue + self._max_wait <= now):
+                expired = reqs[0].t_enqueue + self._max_wait <= now
+                if len(reqs) >= self._batch_size or done or expired:
+                    # Flush full chunks; a fresh partial tail (triggered
+                    # only by fullness) goes back in the bucket to wait for
+                    # its own deadline instead of burning a padded run.
+                    n_flush = len(reqs)
+                    if not (done or expired):
+                        n_flush -= n_flush % self._batch_size
                     del buckets[sig]
-                    for i in range(0, len(reqs), self._batch_size):
+                    for i in range(0, n_flush, self._batch_size):
                         self._run_batch(reqs[i:i + self._batch_size])
+                    if n_flush < len(reqs):
+                        buckets[sig] = reqs[n_flush:]
 
     def _run_batch(self, reqs: List[_Request]) -> None:
         n = len(reqs)
@@ -280,7 +296,8 @@ class GenerationService:
                 self._n_served += n
                 self._n_padded += pad
             for i, r in enumerate(reqs):
-                r.future.set_result(host[i])
+                if not r.future.done():  # caller may have cancelled
+                    r.future.set_result(host[i])
         except Exception as e:  # surface to all callers of this batch
             for r in reqs:
                 if not r.future.done():

@@ -40,10 +40,17 @@ def test_cli_train_then_sample(tiny_setup):
           "--crop", "512", "--log-every", "2", "--checkpoint-every", "2"])
     assert (run / "model").exists()
 
+    # Re-running the same command resumes AND respects the total budget
+    # (fit runs 0 remaining steps), then re-exports the model (overwrite).
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(run), "--steps", "3", "--batch", "2",
+          "--crop", "512", "--log-every", "2", "--checkpoint-every", "2"])
+
     out = tmp / "samples"
-    main(["sample", "--model", str(run / "model"), "--preset", str(cfg),
+    # No --preset / --sample-rate: both come from run/config.json.
+    main(["sample", "--model", str(run / "model"),
           "--out", str(out), "--num", "2", "--steps", "2",
-          "--sampler", "dpm", "--length", "512", "--sample-rate", "8000"])
+          "--sampler", "dpm", "--length", "512"])
     wavs = sorted(out.glob("*.wav"))
     assert len(wavs) == 2
     from audio_diffusion_tpu.data import wav_probe
@@ -55,6 +62,10 @@ def test_cli_train_then_sample(tiny_setup):
 def test_cli_unknown_preset_errors(tmp_path):
     with pytest.raises(SystemExit, match="unknown preset"):
         main(["sample", "--model", "x", "--preset", "NOPE",
+              "--out", str(tmp_path)])
+    # Task-model presets are rejected with guidance, not a TypeError.
+    with pytest.raises(SystemExit, match="Python API"):
+        main(["sample", "--model", "x", "--preset", "VOCODER_48K",
               "--out", str(tmp_path)])
 
 
