@@ -96,3 +96,22 @@ def test_distiller_guards():
     model.initialize(next(iter(_tone_batches())))
     with pytest.raises(AssertionError, match="even"):
         ProgressiveDistiller(model, base_steps=7)
+
+
+def test_distiller_over_mesh():
+    """Distillation composes with the sharded train step (8-device DP)."""
+    from audio_diffusion_tpu.parallel import create_mesh
+
+    model = DiffusionModel(**TINY)
+    batches = _tone_batches(batch=8)
+    model.initialize(next(iter(batches)))
+    distiller = ProgressiveDistiller(model, base_steps=8,
+                                     learning_rate=1e-3,
+                                     mesh=create_mesh())
+    m = distiller.stage(batches, num_train_steps=4, log_fn=lambda s: None)
+    assert distiller.steps == 4
+    assert np.isfinite(float(m["loss"]))
+    # Model params remain usable (donation must not have consumed them).
+    out = model.sample(jax.random.normal(jax.random.key(0),
+                                         (1, 1, LENGTH)), num_steps=4)
+    assert bool(jnp.all(jnp.isfinite(out)))
