@@ -32,6 +32,11 @@ class TrainerConfig:
     learning_rate: float = 1e-4
     weight_decay: float = 0.0
     max_grad_norm: Optional[float] = None
+    # LR schedule: "constant" (with optional linear warmup) or "cosine"
+    # (warmup + cosine decay to 0 over total_steps — required for cosine).
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    total_steps: Optional[int] = None
     # EMA of params for sampling quality (None disables). The EMA tree is
     # checkpointed with the rest of the state; use `trainer.ema_params`.
     ema_decay: Optional[float] = None
@@ -69,11 +74,25 @@ class Trainer:
         self.log_fn = log_fn
 
         if optimizer is None:
+            cfg = self.config
+            assert cfg.lr_schedule in ("constant", "cosine"), (
+                f"unknown lr_schedule {cfg.lr_schedule!r} (constant|cosine)")
+            if cfg.lr_schedule == "cosine":
+                assert cfg.total_steps, (
+                    "lr_schedule='cosine' needs total_steps (the decay "
+                    "horizon)")
+                lr = optax.warmup_cosine_decay_schedule(
+                    0.0, cfg.learning_rate, cfg.warmup_steps,
+                    cfg.total_steps)
+            elif cfg.warmup_steps:
+                lr = optax.linear_schedule(0.0, cfg.learning_rate,
+                                           cfg.warmup_steps)
+            else:
+                lr = cfg.learning_rate
             tx = []
-            if self.config.max_grad_norm is not None:
-                tx.append(optax.clip_by_global_norm(self.config.max_grad_norm))
-            tx.append(optax.adamw(self.config.learning_rate,
-                                  weight_decay=self.config.weight_decay))
+            if cfg.max_grad_norm is not None:
+                tx.append(optax.clip_by_global_norm(cfg.max_grad_norm))
+            tx.append(optax.adamw(lr, weight_decay=cfg.weight_decay))
             optimizer = optax.chain(*tx)
         self.optimizer = optimizer
 

@@ -22,6 +22,11 @@ setup(
         "text": ["transformers>=4.30"],
         "test": ["pytest", "torch", "hypothesis"],
     },
+    entry_points={
+        "console_scripts": [
+            "audio-diffusion-tpu=audio_diffusion_tpu.cli:main",
+        ],
+    },
     # Ship the native data-loader source (compiled on demand with g++).
     package_data={"audio_diffusion_tpu.data": ["wavio.cpp"]},
     include_package_data=True,

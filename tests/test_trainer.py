@@ -178,3 +178,26 @@ def test_accum_steps_via_trainer_config():
                       log_fn=lambda s: None)
     m = trainer.fit(_batches(batch_size=8), num_steps=2)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_lr_schedules():
+    """Warmup/cosine schedules build and train; cosine needs total_steps."""
+    import pytest
+
+    model = DiffusionModel(**TINY)
+    model.initialize(next(iter(_batches())))
+    t = Trainer(model, TrainerConfig(lr_schedule="cosine", warmup_steps=2,
+                                     total_steps=10, log_every=100),
+                log_fn=lambda s: None)
+    m = t.fit(_batches(), num_steps=3)
+    assert np.isfinite(float(m["loss"]))
+
+    t2 = Trainer(model, TrainerConfig(warmup_steps=2, log_every=100),
+                 log_fn=lambda s: None)
+    m2 = t2.fit(_batches(), num_steps=3)
+    assert np.isfinite(float(m2["loss"]))
+
+    with pytest.raises(AssertionError, match="total_steps"):
+        Trainer(model, TrainerConfig(lr_schedule="cosine"))
+    with pytest.raises(AssertionError, match="unknown lr_schedule"):
+        Trainer(model, TrainerConfig(lr_schedule="linear"))
