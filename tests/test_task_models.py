@@ -142,3 +142,42 @@ def test_lt_plugin():
     out = model.sample(jax.random.normal(jax.random.key(1), (1, 2, 256)),
                        num_steps=2)
     assert out.shape == (1, 2, 256)
+
+
+def test_task_model_save_load_roundtrip(tmp_path):
+    """Task models persist their EXTRA param trees (vocoder's learned
+    to_flat, AE's encoder) — reloaded models must sample bit-identically."""
+    import numpy as np
+
+    voc = DiffusionVocoder(net_t=UNetV0, mel_n_fft=128, mel_channels=16,
+                           mel_sample_rate=16000, **TINY_NET)
+    audio = jax.random.normal(jax.random.key(0), (1, 1, 1024))
+    _ = voc(audio)
+    assert "to_flat" in voc.params  # the learned vocoder head is persisted
+    voc.save(tmp_path / "voc")
+
+    voc2 = DiffusionVocoder(net_t=UNetV0, mel_n_fft=128, mel_channels=16,
+                            mel_sample_rate=16000, **TINY_NET)
+    _ = voc2(audio)  # init with different random params
+    voc2.load(tmp_path / "voc")
+    mel = jax.random.normal(jax.random.key(1), (1, 1, 16, 8))
+    np.testing.assert_array_equal(
+        np.asarray(voc.sample(mel, num_steps=2)),
+        np.asarray(voc2.sample(mel, num_steps=2)))
+
+    enc = MelEncoder1d(in_channels=1, channels=16, out_channels=4,
+                       factors=[2], num_blocks=[1], mel_channels=8,
+                       mel_n_fft=32, mel_sample_rate=16000)
+    ae = DiffusionAE(net_t=UNetV0, in_channels=1, encoder=enc,
+                     inject_depth=1, channels=[8, 16], factors=[1, 16],
+                     items=[1, 1], modulation_features=32)
+    _ = ae(audio)
+    assert "encoder" in ae.params
+    ae.save(tmp_path / "ae")
+    ae2 = DiffusionAE(net_t=UNetV0, in_channels=1, encoder=enc,
+                      inject_depth=1, channels=[8, 16], factors=[1, 16],
+                      items=[1, 1], modulation_features=32)
+    _ = ae2(audio)
+    ae2.load(tmp_path / "ae")
+    np.testing.assert_array_equal(np.asarray(ae.encode(audio)),
+                                  np.asarray(ae2.encode(audio)))
