@@ -106,18 +106,14 @@ def UNetV0(
             remat_policy=remat_policy, **unet_kwargs)
     elif dim == 2:
         from .unet2d import XUNet2d
-        assert not (use_pallas or use_remat or remat_policy), (
-            "use_pallas/use_remat/remat_policy are implemented for dim=1 "
-            "only; dropping them silently would disable requested "
-            "checkpointing")
-        module = XUNet2d(**unet_kwargs)
+        assert not use_pallas, "use_pallas is implemented for dim=1 only"
+        module = XUNet2d(use_remat=use_remat, remat_policy=remat_policy,
+                         **unet_kwargs)
     else:
         from .unet3d import XUNet3d
-        assert not (use_pallas or use_remat or remat_policy), (
-            "use_pallas/use_remat/remat_policy are implemented for dim=1 "
-            "only; dropping them silently would disable requested "
-            "checkpointing")
-        module = XUNet3d(**unet_kwargs)
+        assert not use_pallas, "use_pallas is implemented for dim=1 only"
+        module = XUNet3d(use_remat=use_remat, remat_policy=remat_policy,
+                         **unet_kwargs)
 
     if use_embedding_cfg:
         assert exists(embedding_max_length), (

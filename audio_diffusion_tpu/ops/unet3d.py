@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -193,6 +194,11 @@ class XUNet3d(nn.Module):
     attention_features: int = 64
     resnet_groups: int = 8
     use_modulation: bool = True
+    # Gradient checkpointing of item stacks (same semantics as the 1-D
+    # XUNet: remat_policy names a jax.checkpoint_policies entry; None =
+    # full remat). Only used when use_remat=True.
+    use_remat: bool = False
+    remat_policy: Optional[str] = None
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -221,8 +227,15 @@ class XUNet3d(nn.Module):
         contexts += [None] * (num_levels - len(contexts))
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
-        def stack(i: int, name: str) -> ItemStack3d:
-            return ItemStack3d(
+        if self.use_remat:
+            policy = (getattr(jax.checkpoint_policies, self.remat_policy)
+                      if self.remat_policy else None)
+            stack_cls = nn.remat(ItemStack3d, policy=policy)
+        else:
+            stack_cls = ItemStack3d
+
+        def stack(i: int, name: str):
+            return stack_cls(
                 channels=self.channels[i],
                 items=self.items[i],
                 attentions=self.attentions[i],

@@ -194,9 +194,28 @@ def test_ae_channels_kwarg_rejected():
         ae(x, channels=[None, jnp.zeros((1, 4, 32))])
 
 
-def test_dim2_remat_flags_rejected():
-    """Regression: use_remat/use_pallas were silently dropped for dim=2/3
-    (requested checkpointing never happened)."""
+def test_dim2_remat():
+    """dim=2 honors use_remat (was silently dropped once): the rematted
+    model computes the same loss and its gradient is finite."""
+    import numpy as np
+
+    x = jax.random.normal(jax.random.key(0), (1, 1, 16, 16))
+    key = jax.random.key(1)
+    cfg = dict(net_t=UNetV0, dim=2, in_channels=1, channels=[8, 16],
+               factors=[1, 2], items=[1, 1], modulation_features=32)
+    plain = DiffusionModel(**cfg)
+    plain.initialize(x, key=jax.random.key(2))
+    remat = DiffusionModel(use_remat=True,
+                           remat_policy="dots_with_no_batch_dims_saveable",
+                           **cfg)
+    remat.initialize(x, key=jax.random.key(2))  # same init key -> same params
+    lp = plain.loss(plain.params, key, x)
+    lr = remat.loss(remat.params, key, x)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lr), rtol=1e-5)
+    g = jax.grad(lambda p: remat.loss(p, key, x))(remat.params)
+    assert all(bool(jnp.all(jnp.isfinite(le)))
+               for le in jax.tree_util.tree_leaves(g))
+    # use_pallas stays dim=1-only, loudly.
     with pytest.raises(AssertionError, match="dim=1"):
-        DiffusionModel(net_t=UNetV0, dim=2, in_channels=1, use_remat=True,
+        DiffusionModel(net_t=UNetV0, dim=2, in_channels=1, use_pallas=True,
                        **TINY_NET)
