@@ -1,4 +1,5 @@
-from .mel import MelSpectrogram, melscale_fbanks, stft
+from .mel import (MelSpectrogram, griffin_lim, istft,
+                  melscale_fbanks, stft)
 from .resample import downsample, resample, upsample
 
 __all__ = [
@@ -6,6 +7,8 @@ __all__ = [
     "downsample",
     "upsample",
     "stft",
+    "istft",
+    "griffin_lim",
     "melscale_fbanks",
     "MelSpectrogram",
 ]

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-__all__ = ["stft", "melscale_fbanks", "MelSpectrogram"]
+__all__ = ["stft", "istft", "griffin_lim", "melscale_fbanks",
+           "MelSpectrogram"]
 
 
 def _hann_window(win_length: int) -> Array:
@@ -55,6 +56,66 @@ def stft(x: Array, n_fft: int, hop_length: int,
     frames = frames * window
     spec = jnp.fft.rfft(frames, axis=-1)  # [..., num_frames, n_freq]
     return jnp.swapaxes(spec, -1, -2)  # [..., n_freq, num_frames]
+
+
+def _framing_window(n_fft: int, win_length: int) -> Array:
+    window = _hann_window(win_length)
+    if win_length < n_fft:  # torch zero-pads the window symmetrically
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+    return window
+
+
+def istft(spec: Array, n_fft: int, hop_length: int,
+          win_length: Optional[int] = None,
+          length: Optional[int] = None) -> Array:
+    """Inverse of :func:`stft` (center=False): windowed overlap-add with
+    window-square normalization (the least-squares inverse for any COLA
+    window/hop). spec: [..., n_fft//2+1, n_frames] -> [..., t]."""
+    win_length = win_length or n_fft
+    window = _framing_window(n_fft, win_length)
+    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+    frames = frames * window  # [..., num_frames, n_fft]
+    num_frames = frames.shape[-2]
+    t = length or (num_frames - 1) * hop_length + n_fft
+    idx = (jnp.arange(num_frames)[:, None] * hop_length
+           + jnp.arange(n_fft)[None, :])
+    out = jnp.zeros(frames.shape[:-2] + (t,), frames.dtype)
+    out = out.at[..., idx].add(frames)
+    wsq = jnp.zeros((t,), frames.dtype).at[idx].add(
+        jnp.broadcast_to(window**2, idx.shape))
+    return out / jnp.maximum(wsq, 1e-11)
+
+
+def griffin_lim(magnitude: Array, n_fft: int, hop_length: int,
+                win_length: Optional[int] = None, n_iter: int = 32,
+                length: Optional[int] = None) -> Array:
+    """Classical phase reconstruction (Griffin & Lim 1984) from an STFT
+    magnitude [..., n_fft//2+1, n_frames] -> waveform [..., t].
+
+    A zero-parameter baseline vocoder next to DiffusionVocoder: repeatedly
+    project between the magnitude constraint and the set of consistent
+    STFTs. Deterministic (zero-phase init); jit-compatible (fixed n_iter
+    fori_loop)."""
+    import jax
+
+    mag = magnitude.astype(jnp.float32)
+
+    def body(_, angles):
+        x = istft(mag * jnp.exp(1j * angles), n_fft, hop_length,
+                  win_length, length=length)
+        rebuilt = stft(x, n_fft, hop_length, win_length)
+        # stft of a len-`length` signal can lose a trailing partial frame;
+        # keep the previous phase there.
+        f = rebuilt.shape[-1]
+        new = jnp.angle(rebuilt)
+        return jnp.concatenate([new, angles[..., f:]], axis=-1) \
+            if f < angles.shape[-1] else new[..., :angles.shape[-1]]
+
+    angles = jnp.zeros(mag.shape, jnp.float32)
+    angles = jax.lax.fori_loop(0, n_iter, body, angles)
+    return istft(mag * jnp.exp(1j * angles), n_fft, hop_length, win_length,
+                 length=length)
 
 
 def _hz_to_mel_htk(freq: np.ndarray) -> np.ndarray:

@@ -154,3 +154,38 @@ def test_mel_spectrogram_shapes_and_norms():
                              normalize=True)
     out2 = mel_pow(x)
     assert float(out2.max()) <= 1.0 + 1e-5 and float(out2.min()) >= -1.0 - 1e-5
+
+
+def test_istft_inverts_stft():
+    """Window-square-normalized OLA inverts the center=False STFT."""
+    from audio_diffusion_tpu.dsp import istft, stft
+
+    x = jax.random.normal(jax.random.key(0), (2, 1, 4096))
+    spec = stft(x, n_fft=256, hop_length=64)
+    y = istft(spec, n_fft=256, hop_length=64, length=4096)
+    # Interior is exact (COLA); the first/last partial-coverage edges are
+    # still finite but less constrained.
+    np.testing.assert_allclose(np.asarray(y[..., 256:-256]),
+                               np.asarray(x[..., 256:-256]),
+                               atol=1e-4)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_griffin_lim_reconstructs_tone():
+    """GL from magnitude-only recovers a sinusoid up to sign/phase: the
+    reconstruction's spectrum must concentrate at the true frequency."""
+    from audio_diffusion_tpu.dsp import griffin_lim, stft
+
+    sr, t_len = 8000, 4096
+    t = jnp.arange(t_len) / sr
+    x = jnp.sin(2 * jnp.pi * 440.0 * t)[None]
+    mag = jnp.abs(stft(x, n_fft=512, hop_length=128))
+    y = np.asarray(griffin_lim(mag, n_fft=512, hop_length=128, n_iter=32,
+                               length=t_len))[0]
+    spec = np.abs(np.fft.rfft(y * np.hanning(t_len)))
+    peak_bin = int(np.argmax(spec))
+    true_bin = round(440.0 * t_len / sr)
+    assert abs(peak_bin - true_bin) <= 1, (peak_bin, true_bin)
+    # Energy concentration: the tone dominates the reconstruction.
+    band = spec[true_bin - 3:true_bin + 4]
+    assert band.sum() / spec.sum() > 0.8
