@@ -111,15 +111,19 @@ def _cmd_sample(args) -> None:
     from .data import wav_write
 
     run_cfg = Path(args.model).parent / "config.json"
+    recorded = json.loads(run_cfg.read_text()) if run_cfg.exists() else {}
     if args.preset is not None:
         cfg = _resolve_config(args.preset)
-    elif run_cfg.exists():
-        cfg = json.loads(run_cfg.read_text())
+    elif recorded:
+        cfg = dict(recorded)
     else:
         raise SystemExit(
             f"no {run_cfg} next to the model dir — pass --preset "
             "(the config used for training)")
-    sample_rate = args.sample_rate or cfg.pop("_sample_rate", None) or 48000
+    # The training data's rate (recorded by `train`) wins over the 48k
+    # default even when the net config comes from --preset.
+    sample_rate = (args.sample_rate or cfg.get("_sample_rate")
+                   or recorded.get("_sample_rate") or 48000)
     cfg.pop("_sample_rate", None)
     if args.in_channels is not None:
         cfg["in_channels"] = args.in_channels
@@ -129,11 +133,18 @@ def _cmd_sample(args) -> None:
     model.load(args.model)
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
+    # One batched device program for all requested samples (batch-8
+    # sampling measures ~1.4x batch-1 samples/min, PERFORMANCE.md); each
+    # sample still derives from its own seed, so outputs are per-seed
+    # deterministic regardless of --num.
+    noise = np.stack([
+        np.random.default_rng(args.seed + i).standard_normal(
+            (c, args.length)).astype(np.float32)
+        for i in range(args.num)])
+    audio = np.asarray(model.sample(noise, num_steps=args.steps))
     for i in range(args.num):
-        noise = np.random.default_rng(args.seed + i).standard_normal(
-            (1, c, args.length)).astype(np.float32)
-        audio = np.asarray(model.sample(noise, num_steps=args.steps))[0]
-        wav_write(out / f"sample_{args.seed + i}.wav", audio, sample_rate)
+        wav_write(out / f"sample_{args.seed + i}.wav", audio[i],
+                  sample_rate)
     print(f"wrote {args.num} samples ({args.steps}-step "
           f"{args.sampler}, {sample_rate} Hz) to {out}")
 

@@ -174,12 +174,17 @@ class AudioDataset:
             host_id = host_id if host_id is not None else jax.process_index()
             num_hosts = (num_hosts if num_hosts is not None
                          else jax.process_count())
-            # Resolve the channel count from the GLOBAL first file before
-            # sharding: per-shard inference could give hosts different
-            # channel counts (mixed mono/stereo sets) and thus mismatched
-            # batch shapes inside cross-host collectives.
+            # Resolve the channel count from the GLOBAL first decodable
+            # file before sharding: per-shard inference could give hosts
+            # different channel counts (mixed mono/stereo sets) and thus
+            # mismatched batch shapes inside cross-host collectives.
             if channels is None:
-                channels = wav_probe(files[0])[0]
+                for f in files:
+                    try:
+                        channels = wav_probe(f)[0]
+                        break
+                    except IOError:
+                        continue  # undecodable; skipped below anyway
             files = files[host_id::num_hosts] or files  # tiny sets: share
             seed = seed * max(num_hosts, 1) + host_id  # decorrelated crops
 

@@ -25,7 +25,7 @@ from .core import alpha_beta
 from .schedules import LinearSchedule, Schedule, UniformLambdaSchedule
 from .vdiffusion import VDiffusion
 
-__all__ = ["Sampler", "VSampler", "DPMSampler", "ARVSampler"]
+__all__ = ["Sampler", "VSampler", "SDESampler", "DPMSampler", "ARVSampler"]
 
 
 class Sampler:

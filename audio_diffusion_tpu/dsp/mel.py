@@ -45,10 +45,7 @@ def stft(x: Array, n_fft: int, hop_length: int,
         f"signal length {t} is shorter than n_fft {n_fft} (center=False "
         "STFT needs at least one full frame)")
     num_frames = 1 + (t - n_fft) // hop_length
-    window = _hann_window(win_length)
-    if win_length < n_fft:  # torch zero-pads the window symmetrically
-        lpad = (n_fft - win_length) // 2
-        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+    window = _framing_window(n_fft, win_length)
     # Strided frame gather: [num_frames, n_fft] indices.
     idx = (jnp.arange(num_frames)[:, None] * hop_length
            + jnp.arange(n_fft)[None, :])
