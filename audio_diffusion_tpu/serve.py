@@ -35,6 +35,7 @@ from concurrent.futures import Future
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["GenerationService"]
@@ -55,8 +56,11 @@ def _signature(primary: np.ndarray, cond: Dict[str, Any],
     shape/dtype, same conditioning structure, identical static values.
     Per-request data (arrays, text) contributes its STRUCTURE only — two
     requests with different prompts still share one compiled program."""
-    items: List[Tuple] = [("num_steps", num_steps),
-                          ("primary", primary.shape, str(primary.dtype))]
+    if isinstance(primary, _SeedNoise):
+        head: Tuple = ("seednoise", primary.channels, primary.length)
+    else:
+        head = ("primary", primary.shape, str(primary.dtype))
+    items: List[Tuple] = [("num_steps", num_steps), head]
     for k in sorted(cond):
         v = cond[k]
         if _is_arraylike(v):
@@ -67,6 +71,18 @@ def _signature(primary: np.ndarray, cond: Dict[str, Any],
         else:
             items.append((k, repr(v)))
     return tuple(items)
+
+
+class _SeedNoise:
+    """Marker primary: noise is drawn ON DEVICE from this seed — the
+    request uploads 8 bytes instead of a [channels, length] array."""
+
+    __slots__ = ("seed", "channels", "length")
+
+    def __init__(self, seed: int, channels: int, length: int):
+        self.seed = seed
+        self.channels = channels
+        self.length = length
 
 
 class _Request:
@@ -115,6 +131,7 @@ class GenerationService:
         self._max_wait = max_wait_ms / 1e3
         self._params = params
         self._queue: "queue_mod.Queue" = queue_mod.Queue()
+        self._noise_jit: Dict[Tuple[int, int], Any] = {}
         self._closed = False
         self._submit_lock = threading.Lock()
         self._stats_lock = threading.Lock()
@@ -137,7 +154,8 @@ class GenerationService:
         across a batch and act as static config, e.g.
         ``embedding_scale=5.0``). Returns a Future resolving to the
         generated ``[channels, length]`` numpy array."""
-        primary = np.asarray(primary)
+        if not isinstance(primary, _SeedNoise):
+            primary = np.asarray(primary)
         if isinstance(cond.get("text"), str):
             cond["text"] = [cond["text"]]
         for k, v in cond.items():
@@ -164,17 +182,28 @@ class GenerationService:
             self._queue.put(req)
         return req.future
 
+    def submit_seed(self, seed: int, *, length: int, channels: int = 2,
+                    num_steps: Optional[int] = None, **cond) -> Future:
+        """Like :meth:`submit`, but the standard-normal noise is drawn ON
+        DEVICE from ``seed`` — the request ships 8 bytes instead of a
+        ``[channels, length]`` float32 array (2 MB for 5.5 s stereo @48 kHz;
+        host→device noise upload was the measured bottleneck of remote
+        serving, PERFORMANCE.md §8a2). Deterministic per seed, independent
+        of batch composition."""
+        return self.submit(_SeedNoise(int(seed), channels, length),
+                           num_steps=num_steps, **cond)
+
     def generate(self, primary=None, *, length: Optional[int] = None,
                  channels: int = 2, seed: Optional[int] = None,
                  num_steps: Optional[int] = None, **cond) -> np.ndarray:
         """Blocking convenience: submit + wait. When ``primary`` is omitted,
-        standard-normal noise ``[channels, length]`` is drawn host-side from
-        ``seed`` (deterministic: same seed → same audio)."""
+        noise ``[channels, length]`` is drawn on device from ``seed``
+        (deterministic: same seed → same audio)."""
         if primary is None:
             assert length is not None, "pass primary= or length="
-            rng = np.random.default_rng(seed)
-            primary = rng.standard_normal((channels, length)).astype(
-                np.float32)
+            return self.submit_seed(seed or 0, length=length,
+                                    channels=channels,
+                                    num_steps=num_steps, **cond).result()
         return self.submit(primary, num_steps=num_steps,
                            **cond).result()
 
@@ -259,12 +288,31 @@ class GenerationService:
                     if n_flush < len(reqs):
                         buckets[sig] = reqs[n_flush:]
 
+    def _noise_builder(self, channels: int, length: int):
+        key = (channels, length)
+        fn = self._noise_jit.get(key)
+        if fn is None:
+            def build(seeds):
+                keys = jax.vmap(jax.random.key)(seeds)
+                return jax.vmap(lambda k: jax.random.normal(
+                    k, (channels, length), jnp.float32))(keys)
+
+            fn = self._noise_jit[key] = jax.jit(build)
+        return fn
+
     def _run_batch(self, reqs: List[_Request]) -> None:
         n = len(reqs)
         pad = self._batch_size - n
         try:
-            batch = np.stack([r.primary for r in reqs]
-                             + [reqs[-1].primary] * pad)
+            if isinstance(reqs[0].primary, _SeedNoise):
+                sn = reqs[0].primary
+                seeds = jnp.asarray(
+                    [r.primary.seed for r in reqs]
+                    + [reqs[-1].primary.seed] * pad, jnp.uint32)
+                batch = self._noise_builder(sn.channels, sn.length)(seeds)
+            else:
+                batch = np.stack([r.primary for r in reqs]
+                                 + [reqs[-1].primary] * pad)
             cond: Dict[str, Any] = {}
             for k, v0 in reqs[0].cond.items():
                 if _is_arraylike(v0):
