@@ -14,7 +14,6 @@ import time
 from pathlib import Path
 
 import jax.numpy as jnp
-import numpy as np
 
 from audio_diffusion_tpu import DiffusionModel, GenerationService, UNetV0
 from audio_diffusion_tpu.data import wav_write
@@ -33,12 +32,11 @@ t0 = time.perf_counter()
 with GenerationService(model, num_steps=10, batch_size=4,
                        max_wait_ms=50.0) as service:
     # Eight concurrent requests; the service runs them as two device
-    # batches of four.
-    futures = {}
-    for seed in range(8):
-        noise = np.random.default_rng(seed).standard_normal(
-            (2, LENGTH)).astype(np.float32)
-        futures[seed] = service.submit(noise)
+    # batches of four. submit_seed draws the noise ON DEVICE (an 8-byte
+    # request instead of a [2, LENGTH] upload — measured 1.6x the remote
+    # serving throughput, PERFORMANCE.md §8a2).
+    futures = {seed: service.submit_seed(seed, length=LENGTH)
+               for seed in range(8)}
     for seed, fut in futures.items():
         audio = fut.result()
         wav_write(out_dir / f"sample_{seed}.wav", audio, SAMPLE_RATE)
