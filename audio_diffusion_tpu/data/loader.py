@@ -200,6 +200,8 @@ class AudioDataset:
         self.channels = channels
         self.sample_rate: Optional[int] = None
         skipped = 0
+        mismatched = 0
+        too_short = 0
         for f in files:
             try:
                 c, sr, n = wav_probe(f)
@@ -210,15 +212,33 @@ class AudioDataset:
                 self.channels = c
             if self.sample_rate is None:
                 self.sample_rate = sr
-            if c == self.channels and n >= crop_frames:
+            if c != self.channels:
+                mismatched += 1  # e.g. mono file in a stereo corpus
+            elif n < crop_frames:
+                too_short += 1
+            else:
                 self.files.append(f)
                 self.frames.append(n)
-        if skipped:
+        self.skipped_undecodable = skipped
+        self.skipped_channel_mismatch = mismatched
+        self.skipped_too_short = too_short
+        if skipped or mismatched or too_short:
             import warnings
 
-            warnings.warn(f"AudioDataset skipped {skipped} undecodable "
-                          "WAV file(s) (unsupported format or corrupt "
-                          "header)", stacklevel=2)
+            reasons = []
+            if skipped:
+                reasons.append(f"{skipped} undecodable (unsupported format "
+                               "or corrupt header)")
+            if mismatched:
+                reasons.append(f"{mismatched} channel-mismatched (expected "
+                               f"{self.channels} channels — a mixed "
+                               "mono/stereo corpus trains on a subset; pass "
+                               "channels= to pick which)")
+            if too_short:
+                reasons.append(f"{too_short} shorter than crop_frames="
+                               f"{crop_frames}")
+            warnings.warn("AudioDataset skipped " + "; ".join(reasons),
+                          stacklevel=2)
         if not self.files:
             raise ValueError(
                 f"no usable files (need ≥{crop_frames} frames, "

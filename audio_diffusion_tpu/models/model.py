@@ -169,11 +169,17 @@ class DiffusionModel:
         return self._jitted("loss", self.loss,
                             params=self.params, key=key, x=x, **kwargs)
 
-    def sample(self, *args, key: Optional[Array] = None, **kwargs) -> Array:
+    def sample(self, *args, key: Optional[Array] = None,
+               params: Optional[Dict] = None, **kwargs) -> Array:
         """Draw samples (reference models.py:43-45). Extra leading `key`
-        argument is injected for samplers that consume RNG (ARVSampler)."""
+        argument is injected for samplers that consume RNG (ARVSampler).
+
+        ``params=`` overrides the model's live parameters for THIS call only
+        (no shared-state mutation) — e.g. a serving thread sampling from an
+        EMA snapshot while a trainer keeps updating ``model.params``."""
         kwargs = self._process_cond(kwargs)
-        if self.params is None and args and _contains_array(args[0]):
+        if params is None and self.params is None \
+                and args and _contains_array(args[0]):
             # Only net-conditioning kwargs participate in initialization;
             # sampler-consumed names (num_steps, show_progress, ...) must
             # not leak into the net's init kwargs.
@@ -181,7 +187,8 @@ class DiffusionModel:
                 type(self.sampler).sample).parameters) - {"kwargs"}
             self._auto_init(args[0], {k: v for k, v in kwargs.items()
                                       if k not in sampler_named})
-        assert self.params is not None, (
+        params = default(params, self.params)
+        assert params is not None, (
             "initialize the model first (call model(x) or model.initialize)")
         # Bind positional args to the sampler's parameter names so they can
         # ride through the static/dynamic kwarg split.
@@ -195,7 +202,7 @@ class DiffusionModel:
                 f"{type(self.sampler).__name__} is deterministic and takes "
                 "no key")
             key_args = ()
-        bound = sig.bind(self.sampler, self.params["net"], *key_args, *args,
+        bound = sig.bind(self.sampler, params["net"], *key_args, *args,
                          **kwargs)
         call_kwargs = dict(bound.arguments)
         call_kwargs.pop("self")
@@ -203,7 +210,7 @@ class DiffusionModel:
         call_kwargs.update(var_kw)
         # Replace net-params with full params so task models can override
         # sample_fn; route through sample_fn for uniformity.
-        call_kwargs["params"] = self.params
+        call_kwargs["params"] = params
 
         def run_sample(**kw):
             p = kw.pop("params")

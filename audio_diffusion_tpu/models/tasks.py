@@ -91,8 +91,10 @@ class DiffusionAE(DiffusionModel):
             params=self.params["encoder"], x=jnp.asarray(x),
             with_info=with_info)
 
-    def decode(self, latent, key: Optional[Array] = None, **kwargs) -> Array:
-        assert self.params is not None, "initialize the model first"
+    def decode(self, latent, key: Optional[Array] = None,
+               params: Optional[Dict] = None, **kwargs) -> Array:
+        params = default(params, self.params)
+        assert params is not None, "initialize the model first"
         assert "channels" not in kwargs, (
             "DiffusionAE.decode conditions on the given latent itself; "
             "channels= cannot be overridden")
@@ -114,7 +116,7 @@ class DiffusionAE(DiffusionModel):
             return self.adapter.decode(out) if exists(self.adapter) else out
 
         return self._jitted("decode", run_decode,
-                            params=self.params, latent=latent, key=key,
+                            params=params, latent=latent, key=key,
                             **kwargs)
 
 
@@ -147,8 +149,9 @@ class DiffusionUpsampler(DiffusionModel):
             params["net"], key, x, append_channels=reupsampled, **kwargs)
 
     def sample(self, downsampled, key: Optional[Array] = None,
-               **kwargs) -> Array:
-        assert self.params is not None, "initialize the model first"
+               params: Optional[Dict] = None, **kwargs) -> Array:
+        params = default(params, self.params)
+        assert params is not None, "initialize the model first"
         key = key if key is not None else self.next_key()
 
         def run_sample(params, downsampled, key, **kw):
@@ -159,7 +162,7 @@ class DiffusionUpsampler(DiffusionModel):
                 params["net"], noise, append_channels=reupsampled, **kw)
 
         return self._jitted("sample", run_sample,
-                            params=self.params,
+                            params=params,
                             downsampled=jnp.asarray(downsampled), key=key,
                             **self._process_cond(kwargs))
 
@@ -232,8 +235,9 @@ class DiffusionVocoder(DiffusionModel):
             params["net"], key, x_folded, append_channels=flat, **kwargs)
 
     def sample(self, spectrogram, key: Optional[Array] = None,
-               **kwargs) -> Array:
-        assert self.params is not None, "initialize the model first"
+               params: Optional[Dict] = None, **kwargs) -> Array:
+        params = default(params, self.params)
+        assert params is not None, "initialize the model first"
         spectrogram = jnp.asarray(spectrogram)
         key = key if key is not None else self.next_key()
 
@@ -247,7 +251,7 @@ class DiffusionVocoder(DiffusionModel):
             return waveform.reshape(lead + (waveform.shape[-1],))
 
         return self._jitted("sample", run_sample,
-                            params=self.params, spectrogram=spectrogram,
+                            params=params, spectrogram=spectrogram,
                             key=key, **self._process_cond(kwargs))
 
 

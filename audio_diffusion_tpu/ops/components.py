@@ -59,6 +59,7 @@ def UNetV0(
     use_pallas: bool = False,
     use_remat: bool = False,
     remat_policy: Optional[str] = None,
+    channel_change: str = "resample",
     dtype: Optional[Any] = None,
     param_dtype: Any = jnp.float32,
 ) -> Net:
@@ -103,8 +104,11 @@ def UNetV0(
     if dim == 1:
         module: nn.Module = XUNet(
             lane_fold=lane_fold, use_pallas=use_pallas, use_remat=use_remat,
-            remat_policy=remat_policy, **unet_kwargs)
+            remat_policy=remat_policy, channel_change=channel_change,
+            **unet_kwargs)
     elif dim == 2:
+        assert channel_change == "resample", (
+            "channel_change is a dim=1 parity-mode switch")
         from .unet2d import XUNet2d
         assert not use_pallas, "use_pallas is implemented for dim=1 only"
         module = XUNet2d(use_remat=use_remat, remat_policy=remat_policy,

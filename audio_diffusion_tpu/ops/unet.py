@@ -120,16 +120,21 @@ def _check_unused_kwargs(unused: dict) -> None:
             "enabled)", stacklevel=2)
 
 
-def _declare_resnet_params(module: nn.Module, channels: int, param_dtype):
+def _declare_resnet_params(module: nn.Module, channels: int, param_dtype,
+                           in_channels: Optional[int] = None):
     """Declare the 8 resnet-item parameters (shared by ResnetItem and
-    ResnetModItem so their trees/math stay in lockstep by construction)."""
+    ResnetModItem so their trees/math stay in lockstep by construction).
+    With ``in_channels != channels`` (the geometry-register alternative:
+    channel change inside the level's first resnet, PARITY.md), the first
+    GN/conv run at the input width."""
     c = channels
+    ci = in_channels if in_channels is not None else c
     p = lambda name, shape, init: module.param(  # noqa: E731
         name, init, shape, param_dtype)
     return (
-        p("gn1_scale", (c,), nn.initializers.ones),
-        p("gn1_bias", (c,), nn.initializers.zeros),
-        p("conv1_kernel", (3, c, c), nn.initializers.lecun_normal()),
+        p("gn1_scale", (ci,), nn.initializers.ones),
+        p("gn1_bias", (ci,), nn.initializers.zeros),
+        p("conv1_kernel", (3, ci, c), nn.initializers.lecun_normal()),
         p("conv1_bias", (c,), nn.initializers.zeros),
         p("gn2_scale", (c,), nn.initializers.ones),
         p("gn2_bias", (c,), nn.initializers.zeros),
@@ -138,8 +143,13 @@ def _declare_resnet_params(module: nn.Module, channels: int, param_dtype):
     )
 
 
-def _resnet_math(x: Array, params, fold: int, groups: int, dtype) -> Array:
-    """Pure resnet math: (GN -> SiLU -> conv3) × 2 + identity."""
+def _resnet_math(x: Array, params, fold: int, groups: int, dtype,
+                 shortcut=None) -> Array:
+    """Pure resnet math: (GN -> SiLU -> conv3) × 2 + identity.
+
+    ``shortcut=(kernel, bias)`` switches the identity to a 1×1 conv — used
+    only by the channel-changing parity-mode variant (PARITY.md geometry
+    register: channel change inside the first resnet)."""
     gn1_s, gn1_b, k1, b1, gn2_s, gn2_b, k2, b2 = params
     f = fold
     cast = (lambda a: a.astype(dtype)) if dtype else (lambda a: a)
@@ -151,7 +161,8 @@ def _resnet_math(x: Array, params, fold: int, groups: int, dtype) -> Array:
     h = nn.silu(h)
     h = conv3_as_matmuls(h, cast(fold_conv3_kernel(k2, f)),
                          _tile(cast(b2), f))
-    return x + h
+    res = x if shortcut is None else x @ cast(shortcut[0]) + cast(shortcut[1])
+    return res + h
 
 
 class ResnetItem(nn.Module):
@@ -224,17 +235,29 @@ class ResnetModItem(nn.Module):
     groups: int = 8
     use_modulation: bool = True
     use_pallas: bool = False
+    # Parity-mode alternative geometry (PARITY.md register): when set and
+    # != channels, the item changes width (first GN/conv at in_channels,
+    # 1×1-conv shortcut). Unfolded levels only.
+    in_channels: Optional[int] = None
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, features: Optional[Array] = None) -> Array:
         c, f = self.channels, self.fold
+        ci = self.in_channels if self.in_channels is not None else c
         (gn1_s, gn1_b, k1, b1, gn2_s, gn2_b, k2, b2) = _declare_resnet_params(
-            self, c, self.param_dtype)
+            self, c, self.param_dtype, in_channels=ci)
         p = lambda name, shape, init: self.param(  # noqa: E731
             name, init, shape, self.param_dtype)
         cast = (lambda a: a.astype(self.dtype)) if self.dtype else (lambda a: a)
+        shortcut = None
+        if ci != c:
+            assert f == 1, (
+                "channel-changing resnet items run unfolded (parity mode)")
+            shortcut = (
+                p("shortcut_kernel", (ci, c), nn.initializers.lecun_normal()),
+                p("shortcut_bias", (c,), nn.initializers.zeros))
 
         mods = modb = mg_s = mg_b = None
         if self.use_modulation:
@@ -255,7 +278,7 @@ class ResnetModItem(nn.Module):
         # Estimate: 3 activation-sized buffers in the compute dtype
         # (x block, h, padded h) + one f32 conv accumulator + both folded
         # conv kernels.
-        use_pallas = self.use_pallas
+        use_pallas = self.use_pallas and shortcut is None
         if use_pallas:
             lf, w_ = x.shape[1], x.shape[2]
             esize = 2 if self.dtype == jnp.bfloat16 else 4
@@ -288,7 +311,7 @@ class ResnetModItem(nn.Module):
 
         # lax path — the shared resnet math.
         y = _resnet_math(x, (gn1_s, gn1_b, k1, b1, gn2_s, gn2_b, k2, b2),
-                         f, self.groups, self.dtype)
+                         f, self.groups, self.dtype, shortcut=shortcut)
         if self.use_modulation:
             hm = group_norm(y, f, self.groups, cast(mg_s), cast(mg_b))
             y = y + hm * (1.0 + mods[:, None, :]) + modb[:, None, :]
@@ -445,6 +468,9 @@ class ItemStack(nn.Module):
     attention_features: int
     fold: int = 1
     use_pallas: bool = False
+    # Parity-mode (PARITY.md register): the stack's FIRST resnet changes
+    # width from in_channels to channels via a 1×1-conv shortcut.
+    in_channels: Optional[int] = None
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -463,11 +489,16 @@ class ItemStack(nn.Module):
             assert features is not None, (
                 "modulation requires features (enable time conditioning "
                 "or pass features=)")
-        for _ in range(self.items):
+        if self.in_channels is not None and self.in_channels != self.channels:
+            assert self.items >= 1, (
+                "channel change in the first item requires items >= 1")
+        for it in range(self.items):
             x = ResnetModItem(channels=self.channels, fold=self.fold,
                               groups=self.resnet_groups,
                               use_modulation=self.use_modulation,
                               use_pallas=self.use_pallas,
+                              in_channels=(self.in_channels if it == 0
+                                           else None),
                               dtype=self.dtype,
                               param_dtype=self.param_dtype)(x, features)
             if self.has_context:
@@ -522,6 +553,14 @@ class XUNet(nn.Module):
     use_modulation: bool = True
     lane_fold: bool = True
     use_pallas: bool = False
+    # Geometry-register switch (PARITY.md): where the down-path channel
+    # change happens. "resample" (default): inside Downsample's strided
+    # projection — the reading the torch oracle verifies. "first_item":
+    # Downsample keeps the source width and the level's FIRST resnet
+    # changes width via a 1×1-conv shortcut — the plausible alternative
+    # a-unet reading, supported so a pinned a-unet state_dict can be
+    # imported under either. Parity mode only (requires lane_fold=False).
+    channel_change: str = "resample"
     # Rematerialize item stacks in the backward pass (gradient checkpointing)
     # — trades FLOPs for activation memory so 2^18-sample training fits
     # larger batches per chip.
@@ -594,9 +633,17 @@ class XUNet(nn.Module):
         else:
             stack_cls = ItemStack
 
-        def stack(i: int, name: str):
+        assert self.channel_change in ("resample", "first_item")
+        first_item_cc = self.channel_change == "first_item"
+        if first_item_cc:
+            assert not self.lane_fold, (
+                "channel_change='first_item' is a parity-mode geometry "
+                "(PARITY.md register); build with lane_fold=False")
+
+        def stack(i: int, name: str, in_c: Optional[int] = None):
             return stack_cls(
                 channels=self.channels[i],
+                in_channels=in_c,
                 items=self.items[i],
                 attentions=self.attentions[i],
                 cross_attentions=self.cross_attentions[i],
@@ -618,12 +665,18 @@ class XUNet(nn.Module):
         prev_c, prev_f = self.in_channels, in_fold
         for i in range(num_levels):
             with jax.named_scope(f"unet_down_{i}"):
+                # Level 0 always changes width in the projection: the raw
+                # in_channels (e.g. stereo = 2) can't be group-normed, so
+                # the a-unet reading has an initial conv there regardless.
+                level_cc = first_item_cc and i > 0
+                down_features = prev_c if level_cc else self.channels[i]
                 h = Downsample(in_channels=prev_c,
-                               features=self.channels[i],
+                               features=down_features,
                                factor=self.factors[i],
                                in_fold=prev_f, out_fold=folds[i],
                                name=f"down_{i}", **common)(h)
-                h = stack(i, f"items_down_{i}")(
+                h = stack(i, f"items_down_{i}",
+                          in_c=prev_c if level_cc else None)(
                     h, features, embedding, contexts[i])
             prev_c, prev_f = self.channels[i], folds[i]
             if i < num_levels - 1:

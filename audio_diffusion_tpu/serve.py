@@ -68,6 +68,10 @@ def _signature(primary: np.ndarray, cond: Dict[str, Any],
             items.append((k, tuple(v.shape), str(v.dtype)))
         elif _is_text(v):
             items.append((k, "text", len(v)))
+        elif isinstance(v, (int, float)) and not isinstance(v, bool):
+            # Numerically-equal scalars of different types (5 vs 5.0) must
+            # share one bucket/program — jit would treat them identically.
+            items.append((k, "num", float(v)))
         else:
             items.append((k, repr(v)))
     return tuple(items)
@@ -190,7 +194,13 @@ class GenerationService:
         host→device noise upload was the measured bottleneck of remote
         serving, PERFORMANCE.md §8a2). Deterministic per seed, independent
         of batch composition."""
-        return self.submit(_SeedNoise(int(seed), channels, length),
+        seed = int(seed)
+        if not 0 <= seed < 2**32:
+            # Validate at submit time: an out-of-range seed must fail THIS
+            # request, not blow up inside the batch and take its innocent
+            # co-batched neighbors down with it.
+            raise ValueError(f"seed must be in [0, 2**32), got {seed}")
+        return self.submit(_SeedNoise(seed, channels, length),
                            num_steps=num_steps, **cond)
 
     def generate(self, primary=None, *, length: Optional[int] = None,
@@ -236,7 +246,31 @@ class GenerationService:
 
     # ------------------------------------------------------------- worker
     def _run(self) -> None:
+        """Worker entry: the batching loop, guarded so an unexpected error
+        in the bucketing/flush logic itself (outside _run_batch's per-batch
+        try) fails every pending and queued future instead of silently
+        killing the daemon thread and hanging all callers."""
         buckets: Dict[Tuple, List[_Request]] = {}
+        try:
+            self._run_loop(buckets)
+        except BaseException as e:
+            with self._submit_lock:
+                self._closed = True  # reject further submits
+            pending = [r for reqs in buckets.values() for r in reqs]
+            while True:  # drain anything already enqueued
+                try:
+                    item = self._queue.get_nowait()
+                except queue_mod.Empty:
+                    break
+                if item is not None:
+                    pending.append(item)
+            for r in pending:
+                if not r.future.done():
+                    r.future.set_exception(
+                        RuntimeError(f"GenerationService worker died: {e!r}"))
+            raise
+
+    def _run_loop(self, buckets: Dict[Tuple, List[_Request]]) -> None:
         done = False
 
         def bucket(item) -> bool:
@@ -244,7 +278,15 @@ class GenerationService:
             if item is None:
                 done = True
                 return False
-            sig = _signature(item.primary, item.cond, item.num_steps)
+            try:
+                sig = _signature(item.primary, item.cond, item.num_steps)
+            except BaseException as e:
+                # A malformed request fails ALONE at bucketing time; the
+                # item is no longer in the queue, so without this it would
+                # be invisible to the top-level guard and hang its caller.
+                if not item.future.done():
+                    item.future.set_exception(e)
+                return True
             buckets.setdefault(sig, []).append(item)
             return True
 
@@ -282,11 +324,17 @@ class GenerationService:
                     n_flush = len(reqs)
                     if not (done or expired):
                         n_flush -= n_flush % self._batch_size
-                    del buckets[sig]
+                    # Keep reqs in the bucket until their batches have run:
+                    # if _run_batch itself raises (its internal guard
+                    # failing is "unexpected error" territory), the
+                    # top-level guard in _run still sees these requests and
+                    # fails their futures instead of losing them.
                     for i in range(0, n_flush, self._batch_size):
                         self._run_batch(reqs[i:i + self._batch_size])
                     if n_flush < len(reqs):
                         buckets[sig] = reqs[n_flush:]
+                    else:
+                        del buckets[sig]
 
     def _noise_builder(self, channels: int, length: int):
         key = (channels, length)
@@ -324,20 +372,14 @@ class GenerationService:
                         [reqs[-1].cond[k][0]] * pad
                 else:
                     cond[k] = v0  # static: identical across the batch
-            model = self._model
-            swapped = False
+            # Parameter snapshots ride through the explicit `params=`
+            # call override — no shared-state mutation, so a concurrent
+            # trainer (or a direct model.sample in another thread) never
+            # observes the snapshot.
             if self._params is not None:
-                prev, model.params = model.params, self._params
-                swapped = True
-            try:
-                out = getattr(model, self._method)(
-                    batch, num_steps=reqs[0].num_steps, **cond)
-            finally:
-                # Restore only if nobody else wrote params meanwhile —
-                # a concurrent trainer's update must not be clobbered
-                # with the stale pre-batch tree.
-                if swapped and model.params is self._params:
-                    model.params = prev
+                cond["params"] = self._params
+            out = getattr(self._model, self._method)(
+                batch, num_steps=reqs[0].num_steps, **cond)
             host = np.asarray(jax.device_get(out))
             with self._stats_lock:
                 self._n_batches += 1

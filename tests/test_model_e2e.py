@@ -129,3 +129,37 @@ def test_model_save_load(tmp_path):
     noise = jax.random.normal(jax.random.key(11), (1, 2, LENGTH))
     np.testing.assert_allclose(model.sample(noise, num_steps=2),
                                model2.sample(noise, num_steps=2), atol=0)
+
+
+def test_channel_change_first_item_geometry():
+    """Geometry-register switch (PARITY.md): channel_change='first_item'
+    moves the down-path width change into each level's first resnet
+    (1×1-conv shortcut). Trains and samples; the default mode's parameter
+    tree is unchanged (no shortcut params)."""
+    import jax
+
+    common = dict(net_t=UNetV0, in_channels=2, channels=[8, 16, 32],
+                  factors=[1, 2, 2], items=[1, 2, 1],
+                  modulation_features=32, lane_fold=False)
+    m = DiffusionModel(**common, channel_change="first_item")
+    loss = m(jnp.zeros((1, 2, 128)))
+    assert jnp.isfinite(loss)
+    names = {"/".join(str(k) for k in p) for p, _ in
+             jax.tree_util.tree_flatten_with_path(m.params)[0]}
+    assert sum("shortcut_kernel" in n for n in names) == 2  # levels 1, 2
+    out = m.sample(jax.random.normal(jax.random.key(0), (1, 2, 128)),
+                   num_steps=3)
+    assert out.shape == (1, 2, 128) and bool(jnp.isfinite(out).all())
+    # Gradients flow through the shortcut path.
+    g = jax.grad(lambda p: m.loss(p, jax.random.key(1),
+                                  jnp.ones((1, 2, 128))))(m.params)
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)
+    assert jnp.isfinite(gnorm) and gnorm > 0
+
+    m_default = DiffusionModel(**common)
+    m_default.initialize(jnp.zeros((1, 2, 128)))
+    names_default = {"/".join(str(k) for k in p) for p, _ in
+                     jax.tree_util.tree_flatten_with_path(
+                         m_default.params)[0]}
+    assert not any("shortcut" in n for n in names_default)

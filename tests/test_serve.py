@@ -162,3 +162,102 @@ def test_submit_seed_device_noise(model):
                            max_wait_ms=10.0) as svc:
         g = svc.generate(length=256, seed=7)
     np.testing.assert_allclose(g, o7_alone, atol=1e-5)
+
+
+def test_params_snapshot_never_mutates_model(model):
+    """Regression (round-3): the snapshot rides through the explicit
+    `params=` call override — model.params is NEVER swapped, so a direct
+    model.sample from another thread during a batch window always sees the
+    live tree."""
+    live = model.params
+    snapshot = jax.tree.map(lambda p: p * 0.0, model.params)
+    noise = np.random.default_rng(2).standard_normal(
+        (2, 256)).astype(np.float32)
+    with GenerationService(model, num_steps=4, batch_size=1,
+                           params=snapshot) as svc:
+        fut = svc.submit(noise)
+        # Poll the shared state while the worker runs the batch: any
+        # transient swap (the old implementation) is observable here.
+        while not fut.done():
+            assert model.params is live
+        served = fut.result(timeout=120)
+    assert model.params is live
+    # The batch really used the snapshot (all-zero params -> differs from
+    # the live-params output).
+    direct = np.asarray(model.sample(noise[None], num_steps=4))[0]
+    assert np.abs(served - direct).max() > 0
+
+
+def test_malformed_request_fails_alone(model, monkeypatch):
+    """A request whose signature computation blows up fails ITS OWN future;
+    the service keeps serving everyone else."""
+    import audio_diffusion_tpu.serve as serve_mod
+
+    real_signature = serve_mod._signature
+
+    def picky(primary, cond, num_steps):
+        if cond.get("poison"):
+            raise RuntimeError("signature exploded")
+        return real_signature(primary, cond, num_steps)
+
+    with GenerationService(model, num_steps=2, batch_size=1,
+                           max_wait_ms=20.0) as svc:
+        monkeypatch.setattr(serve_mod, "_signature", picky)
+        bad = svc.submit(np.zeros((2, 256), np.float32), poison=True)
+        with pytest.raises(RuntimeError, match="signature exploded"):
+            bad.result(timeout=30)
+        good = svc.submit(np.zeros((2, 256), np.float32))
+        assert good.result(timeout=120).shape == (2, 256)
+
+
+@pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning")
+def test_worker_crash_fails_pending_futures(model):
+    """Regression (ADVICE r2): an unexpected error in the flush logic
+    (outside _run_batch's internal guard) must fail every pending future
+    and close the service — not silently kill the daemon and hang
+    callers."""
+    svc = GenerationService(model, num_steps=2, batch_size=4,
+                            max_wait_ms=50.0)
+    try:
+        def boom(reqs):
+            raise RuntimeError("flush exploded")
+
+        svc._run_batch = boom
+        f1 = svc.submit(np.zeros((2, 256), np.float32))
+        f2 = svc.submit(np.zeros((2, 256), np.float32))
+        for f in (f1, f2):
+            with pytest.raises(RuntimeError, match="worker died"):
+                f.result(timeout=30)
+        svc._worker.join(timeout=30)
+        with pytest.raises(RuntimeError, match="closed"):
+            svc.submit(np.zeros((2, 256), np.float32))
+    finally:
+        svc._closed = True  # worker is dead; close() would block on join
+
+
+def test_submit_seed_rejects_out_of_range(model):
+    with GenerationService(model, num_steps=2, batch_size=1) as svc:
+        with pytest.raises(ValueError, match=r"seed must be in"):
+            svc.submit_seed(-1, length=256)
+        with pytest.raises(ValueError, match=r"seed must be in"):
+            svc.submit_seed(2**32, length=256)
+        # In-range boundary values pass validation and serve fine.
+        out = svc.submit_seed(2**32 - 1, length=256).result(timeout=120)
+    assert out.shape == (2, 256)
+
+
+def test_signature_normalizes_numeric_scalars():
+    """Regression (ADVICE r2): 5 vs 5.0 as a scalar conditioning value must
+    share one bucket/compiled program."""
+    from audio_diffusion_tpu.serve import _signature
+
+    prim = np.zeros((2, 256), np.float32)
+    s_int = _signature(prim, {"embedding_scale": 5}, num_steps=2)
+    s_float = _signature(prim, {"embedding_scale": 5.0}, num_steps=2)
+    assert s_int == s_float
+    # bools keep identity semantics (True is not 1.0's bucket-mate by type
+    # confusion in jit staticness for flags).
+    s_true = _signature(prim, {"flag": True}, num_steps=2)
+    s_one = _signature(prim, {"flag": 1}, num_steps=2)
+    assert s_true != s_one
