@@ -36,13 +36,17 @@ from .models import (
     TanhBottleneck,
 )
 from .losses import MultiResolutionSTFTLoss, multi_resolution_stft_loss
-from .ops import AppendChannelsPlugin, LTPlugin, Net, UNetV0, XUNet
+from .ops import (AppendChannelsPlugin, LTPlugin, Net, QTensor, UNetV0,
+                  XUNet, dequantize_params, quantize_params)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "presets",
     "GenerationService",
+    "QTensor",
+    "quantize_params",
+    "dequantize_params",
     "ProgressiveDistiller",
     # reference public API (reference __init__.py:1-20)
     "LTPlugin",

@@ -68,9 +68,13 @@ class VInpainter(Inpainter):
 
         def step(x, scan_in):
             i, sig_i, a_i, b_i, a_next, b_next = scan_in
+            # int8 trees dequantize inside the loop body (ops/quant.py).
+            from ..ops.quant import dequantize_step_params
+            p = dequantize_step_params(
+                params, getattr(self.net, "compute_dtype", None), x)
             for r in range(num_resamples):
                 v_pred = self.net.apply(
-                    params, x, jnp.full((b,), sig_i, x.dtype), **kwargs)
+                    p, x, jnp.full((b,), sig_i, x.dtype), **kwargs)
                 x_pred = a_i * x - b_i * v_pred
                 noise_pred = b_i * x + a_i * v_pred
                 # Stay at level i while resampling; step to i+1 on the last.

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from jax import Array, lax
 
 from ..ops.net import Net, cast_inference_params
+from ..ops.quant import dequantize_step_params
 from .core import alpha_beta
 from .schedules import LinearSchedule, Schedule, UniformLambdaSchedule
 from .vdiffusion import VDiffusion
@@ -79,7 +80,12 @@ class VSampler(Sampler):
 
         def step(x, scan_in):
             sig, a0, b0, a1, b1 = scan_in
-            v_pred = self.net.apply(params, x,
+            # int8 params dequantize HERE (inside the loop, anchored to the
+            # carry so the dequant streams int8 bytes per step; no-op for
+            # unquantized trees) — see ops/quant.py.
+            p = dequantize_step_params(
+                params, getattr(self.net, "compute_dtype", None), x)
+            v_pred = self.net.apply(p, x,
                                     jnp.full((b,), sig, x.dtype), **kwargs)
             x_pred = a0 * x - b0 * v_pred
             noise_pred = b0 * x + a0 * v_pred
@@ -136,7 +142,9 @@ class SDESampler(Sampler):
             x, k = carry
             sig, a0, b0, a1, b1 = scan_in
             k, k_eps = jax.random.split(k)
-            v_pred = self.net.apply(params, x,
+            p = dequantize_step_params(
+                params, getattr(self.net, "compute_dtype", None), x)
+            v_pred = self.net.apply(p, x,
                                     jnp.full((b,), sig, x.dtype), **kwargs)
             x_pred = a0 * x - b0 * v_pred
             noise_pred = b0 * x + a0 * v_pred
@@ -212,7 +220,10 @@ class DPMSampler(Sampler):
         def step(carry, scan_in):
             x, x0_prev, is_first = carry
             sig, a0, b0, a1, b1, h, hp = scan_in
-            v = self.net.apply(params, x, jnp.full((b,), sig), **kwargs)
+            p = dequantize_step_params(
+                params, getattr(self.net, "compute_dtype", None), x)
+            v = self.net.apply(p, x, jnp.full((b,), sig, x.dtype),
+                               **kwargs)
             x0 = a0 * x - b0 * v
             # Second-order correction from the previous x0 estimate;
             # first step falls back to first order (DDIM-equivalent).
@@ -300,7 +311,9 @@ class ARVSampler(Sampler):
         def step(x, scan_in):
             sig, a0, b0, a1, b1 = scan_in
             channels = jnp.concatenate([x, sig.astype(x.dtype)], axis=1)
-            v_pred = self.net.apply(params, channels, None, **kwargs)
+            p = dequantize_step_params(
+                params, getattr(self.net, "compute_dtype", None), x)
+            v_pred = self.net.apply(p, channels, None, **kwargs)
             x_pred = a0 * x - b0 * v_pred
             noise_pred = b0 * x + a0 * v_pred
             if show_progress:

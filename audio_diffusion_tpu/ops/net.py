@@ -52,13 +52,22 @@ def cast_inference_params(params: Dict, dtype) -> Dict:
     if dtype is None or dtype == jnp.float32:
         return params
 
+    from .quant import QTensor
+
     def cast(path, leaf):
+        if isinstance(leaf, QTensor):
+            # Quantized leaves stay (int8, f32-scale) — they are
+            # dequantized to the compute dtype inside the scan body
+            # (ops/quant.py); casting the scale here would stack bf16
+            # rounding on top of the int8 error.
+            return leaf
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
         if leaf.dtype == jnp.float32 and name not in _KEEP_F32:
             return leaf.astype(dtype)
         return leaf
 
-    return jax.tree_util.tree_map_with_path(cast, params)
+    return jax.tree_util.tree_map_with_path(
+        cast, params, is_leaf=lambda x: isinstance(x, QTensor))
 
 
 class Net:

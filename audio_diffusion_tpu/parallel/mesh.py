@@ -25,7 +25,7 @@ from jax import Array
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["create_mesh", "shard_batch", "shard_params",
-           "param_sharding_rules"]
+           "param_sharding_rules", "global_batch"]
 
 # Param kernels at least this wide on their last axis are considered for
 # tensor sharding; small params (biases, norms scales, tiny convs) replicate.
@@ -56,6 +56,24 @@ def shard_batch(batch, mesh: Mesh):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def global_batch(batch, mesh: Mesh):
+    """Assemble PER-HOST local batches into one global array sharded on
+    'data' (multi-host DP: each host loads its own disjoint shard via
+    ``AudioDataset(num_hosts=...)``, then contributes it as the local part
+    of the global batch). Single-process: equivalent to :func:`shard_batch`.
+
+    The global batch size is ``local_batch × process_count``; device order
+    in the mesh determines which global slice each host's data lands in.
+    """
+    def conv(x):
+        x = np.asarray(x)
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), x)
+
+    return jax.tree_util.tree_map(conv, batch)
 
 
 def param_sharding_rules(params, mesh: Mesh):
