@@ -59,6 +59,26 @@ def make_train_step(
       train_step(state, batch, **cond) -> (state, metrics) — jitted, donated.
     """
 
+    def _put(x, sharding: NamedSharding):
+        """device_put, multi-process-safe: when the mesh spans processes
+        (two-process CPU simulation, multi-host pods), device_put cannot
+        target non-addressable devices — each process contributes its local
+        view instead. Replicated specs require identical values on every
+        process (true here: params/rng come from the same seed)."""
+        if sharding.is_fully_addressable:
+            return jax.device_put(x, sharding)
+        import numpy as np
+
+        if jnp.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key):
+            # Typed PRNG keys can't round-trip numpy; place the raw key
+            # data and rewrap (key impl is static, shared by construction).
+            impl = jax.random.key_impl(x)
+            data = jax.make_array_from_process_local_data(
+                sharding, np.asarray(jax.random.key_data(x)))
+            return jax.random.wrap_key_data(data, impl=impl)
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x))
+
     def init_state(params, rng: Array) -> TrainState:
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -71,7 +91,7 @@ def make_train_step(
         if mesh is not None:
             pspecs = param_sharding_rules(params, mesh)
             params_sharded = jax.tree_util.tree_map(
-                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                lambda x, s: _put(x, NamedSharding(mesh, s)),
                 state.params, pspecs)
             # Optimizer state: momenta share the param sharding (same
             # shapes); scalars/counters replicate.
@@ -82,19 +102,19 @@ def make_train_step(
 
             def put_opt(x):
                 spec = spec_by_shape.get(getattr(x, "shape", None), P())
-                return jax.device_put(x, NamedSharding(mesh, spec))
+                return _put(x, NamedSharding(mesh, spec))
 
             opt_sharded = jax.tree_util.tree_map(put_opt, state.opt_state)
             ema_sharded = None
             if state.ema is not None:
                 ema_sharded = jax.tree_util.tree_map(
-                    lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                    lambda x, s: _put(x, NamedSharding(mesh, s)),
                     state.ema, pspecs)
             state = TrainState(
-                step=jax.device_put(state.step, NamedSharding(mesh, P())),
+                step=_put(state.step, NamedSharding(mesh, P())),
                 params=params_sharded,
                 opt_state=opt_sharded,
-                rng=jax.device_put(state.rng, NamedSharding(mesh, P())),
+                rng=_put(state.rng, NamedSharding(mesh, P())),
                 ema=ema_sharded,
             )
         return state
