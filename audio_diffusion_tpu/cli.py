@@ -26,39 +26,53 @@ from typing import Dict, Optional
 __all__ = ["main"]
 
 
-# Named presets this CLI can drive end-to-end. The task-model presets
-# (UPSAMPLER/VOCODER/AUTOENCODER) need their task classes and conditioning
-# inputs, and TEXT_CONDITIONAL needs caption plumbing — use the Python API
-# for those (README "Upsampler / Vocoder / Autoencoder" section).
-_CLI_PRESETS = ("UNCONDITIONAL_48K",)
+# Named presets this CLI can drive end-to-end, mapped to their task.
+# AUTOENCODER needs an encoder object and TEXT_CONDITIONAL needs caption
+# plumbing — those remain Python-API-only (README "Autoencoder" section).
+_CLI_PRESETS = {
+    "UNCONDITIONAL_48K": "unconditional",
+    "UPSAMPLER_16X": "upsampler",
+    "VOCODER_48K": "vocoder",
+}
 
 
-def _resolve_config(preset: str) -> Dict:
+def _resolve_config(preset: str):
+    """Returns (cfg kwargs, task name). JSON configs may carry an embedded
+    ``"_task"`` key (as written by `train` into config.json)."""
     from . import presets
 
     name = preset.upper()
     if name in _CLI_PRESETS:
-        return dict(getattr(presets, name))
+        return dict(getattr(presets, name)), _CLI_PRESETS[name]
     p = Path(preset)
     if p.exists():
-        return json.loads(p.read_text())
+        cfg = json.loads(p.read_text())
+        return cfg, cfg.pop("_task", "unconditional")
     if hasattr(presets, name):
         raise SystemExit(
-            f"preset {preset!r} is a task-model/text config that needs the "
-            "Python API (DiffusionUpsampler/DiffusionVocoder/DiffusionAE "
-            "classes or text= conditioning); this CLI drives plain "
-            f"DiffusionModel configs: {', '.join(_CLI_PRESETS)} or a JSON "
-            "kwargs file")
+            f"preset {preset!r} needs the Python API (DiffusionAE requires "
+            "an encoder object; text conditioning requires caption "
+            "plumbing); this CLI drives: "
+            f"{', '.join(_CLI_PRESETS)} or a JSON kwargs file")
     raise SystemExit(
         f"unknown preset {preset!r}: pass one of "
         f"[{', '.join(_CLI_PRESETS)}] or a path to a JSON file of model "
         "kwargs")
 
 
-def _build_model(cfg: Dict, sampler: str):
-    from . import DiffusionModel, DPMSampler, UNetV0, VSampler
+def _build_model(cfg: Dict, sampler: str, task: str = "unconditional",
+                 upsample_factor: Optional[int] = None):
+    from . import (DiffusionModel, DiffusionUpsampler, DiffusionVocoder,
+                   DPMSampler, UNetV0, VSampler)
 
     sampler_t = {"v": VSampler, "dpm": DPMSampler}[sampler]
+    if task == "upsampler":
+        return DiffusionUpsampler(
+            net_t=UNetV0, sampler_t=sampler_t,
+            upsample_factor=upsample_factor or 16, **cfg)
+    if task == "vocoder":
+        return DiffusionVocoder(net_t=UNetV0, sampler_t=sampler_t, **cfg)
+    assert task == "unconditional", task
     return DiffusionModel(net_t=UNetV0, sampler_t=sampler_t, **cfg)
 
 
@@ -73,17 +87,24 @@ def _cmd_train(args) -> None:
                       batch_size=args.batch, seed=args.seed)
     print(f"dataset: {len(ds.files)} files, {ds.channels} ch @ "
           f"{ds.sample_rate} Hz, crop {args.crop}")
-    cfg = _resolve_config(args.preset)
+    cfg, task = _resolve_config(args.preset)
+    if args.task is not None:
+        task = args.task
     cfg["in_channels"] = ds.channels  # the data decides the channel count
-    model = _build_model(cfg, "v")
+    if task == "vocoder":
+        # The mel front end's rate defaults to the training data's.
+        cfg.setdefault("mel_sample_rate", ds.sample_rate)
+    model = _build_model(cfg, "v", task, args.upsample_factor)
     model.initialize(jnp.zeros((1, ds.channels, args.crop)))
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
-    # Persist the RESOLVED config (incl. the channel override and the
-    # training sample rate) so `sample` rebuilds the exact same net.
-    (out / "config.json").write_text(json.dumps(
-        {**cfg, "_sample_rate": ds.sample_rate}, indent=1))
+    # Persist the RESOLVED config (incl. the channel override, task, and
+    # training sample rate) so `sample` rebuilds the exact same model.
+    recorded = {**cfg, "_sample_rate": ds.sample_rate, "_task": task}
+    if task == "upsampler":
+        recorded["_upsample_factor"] = args.upsample_factor or 16
+    (out / "config.json").write_text(json.dumps(recorded, indent=1))
     trainer = Trainer(model, TrainerConfig(
         learning_rate=args.lr, ema_decay=args.ema_decay,
         checkpoint_dir=str(out / "ckpts"),
@@ -106,16 +127,18 @@ def _cmd_train(args) -> None:
 
 def _cmd_sample(args) -> None:
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    from .data import wav_write
+    from .data import wav_read, wav_write
 
     run_cfg = Path(args.model).parent / "config.json"
     recorded = json.loads(run_cfg.read_text()) if run_cfg.exists() else {}
     if args.preset is not None:
-        cfg = _resolve_config(args.preset)
+        cfg, task = _resolve_config(args.preset)
     elif recorded:
         cfg = dict(recorded)
+        task = cfg.pop("_task", "unconditional")
     else:
         raise SystemExit(
             f"no {run_cfg} next to the model dir — pass --preset "
@@ -125,14 +148,51 @@ def _cmd_sample(args) -> None:
     sample_rate = (args.sample_rate or cfg.get("_sample_rate")
                    or recorded.get("_sample_rate") or 48000)
     cfg.pop("_sample_rate", None)
+    upsample_factor = (cfg.pop("_upsample_factor", None)
+                       or recorded.get("_upsample_factor"))
     if args.in_channels is not None:
         cfg["in_channels"] = args.in_channels
-    model = _build_model(cfg, args.sampler)
-    c = model.net.in_channels
-    model.initialize(jax.numpy.zeros((1, c, args.length)))
+    model = _build_model(cfg, args.sampler, task, upsample_factor)
+    c = cfg.get("in_channels", 2)
+    model.initialize(jnp.zeros((1, c, args.length)))
     model.load(args.model)
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
+
+    if task == "upsampler":
+        # --input is the LOW-RATE audio; output is its bandwidth-extended
+        # version at upsample_factor × the input length (reference
+        # README.md:97-109 usage).
+        if args.input is None:
+            raise SystemExit("upsampler sampling needs --input "
+                             "(the low-rate WAV to upsample)")
+        low = wav_read(args.input)
+        audio = np.asarray(model.sample(
+            jnp.asarray(low)[None], num_steps=args.steps,
+            key=jax.random.key(args.seed)))
+        dest = out / f"upsampled_{Path(args.input).stem}.wav"
+        wav_write(dest, audio[0], sample_rate)
+        print(f"wrote {dest} ({low.shape[-1]} -> {audio.shape[-1]} frames, "
+              f"{args.steps}-step {args.sampler}, {sample_rate} Hz)")
+        return
+    if task == "vocoder":
+        # --input is a reference WAV: its mel spectrogram is computed with
+        # the model's own front end, then vocoded back to audio (reference
+        # README.md:126-131 usage with a real mel instead of torch.randn).
+        if args.input is None:
+            raise SystemExit("vocoder sampling needs --input "
+                             "(a WAV whose mel spectrogram to re-vocode)")
+        ref = wav_read(args.input)
+        spec = model.to_spectrogram(jnp.asarray(ref)[None])  # [1, c, f, l]
+        audio = np.asarray(model.sample(
+            spec, num_steps=args.steps, key=jax.random.key(args.seed)))
+        dest = out / f"vocoded_{Path(args.input).stem}.wav"
+        wav_write(dest, audio[0], sample_rate)
+        print(f"wrote {dest} (mel {tuple(spec.shape)} -> "
+              f"{audio.shape[-1]} frames, {args.steps}-step {args.sampler}, "
+              f"{sample_rate} Hz)")
+        return
+
     # One batched device program for all requested samples (batch-8
     # sampling measures ~1.4x batch-1 samples/min, PERFORMANCE.md); each
     # sample still derives from its own seed, so outputs are per-seed
@@ -168,6 +228,12 @@ def main(argv=None) -> None:
     t.add_argument("--checkpoint-every", type=int, default=1000)
     t.add_argument("--log-every", type=int, default=50)
     t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--task", choices=("unconditional", "upsampler",
+                                      "vocoder"), default=None,
+                   help="model task (default: inferred from the preset "
+                        "name or the JSON config's _task key)")
+    t.add_argument("--upsample-factor", type=int, default=None,
+                   help="upsampler task: the rate ratio (default 16)")
     t.set_defaults(fn=_cmd_train)
 
     s = sub.add_parser("sample", help="generate WAVs from a trained model")
@@ -186,6 +252,10 @@ def main(argv=None) -> None:
                    help="defaults to the training data's rate "
                         "(from config.json), else 48000")
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--input", default=None,
+                   help="task-model input WAV: low-rate audio for an "
+                        "upsampler, a reference WAV (mel source) for a "
+                        "vocoder")
     s.set_defaults(fn=_cmd_sample)
 
     args = ap.parse_args(argv)

@@ -63,14 +63,81 @@ def test_cli_unknown_preset_errors(tmp_path):
     with pytest.raises(SystemExit, match="unknown preset"):
         main(["sample", "--model", "x", "--preset", "NOPE",
               "--out", str(tmp_path)])
-    # Task-model presets are rejected with guidance, not a TypeError.
+    # Python-API-only presets are rejected with guidance, not a TypeError.
     with pytest.raises(SystemExit, match="Python API"):
-        main(["sample", "--model", "x", "--preset", "VOCODER_48K",
+        main(["sample", "--model", "x", "--preset", "AUTOENCODER_48K",
               "--out", str(tmp_path)])
 
 
 def test_cli_named_preset_resolves():
     from audio_diffusion_tpu.cli import _resolve_config
 
-    cfg = _resolve_config("unconditional_48k")
+    cfg, task = _resolve_config("unconditional_48k")
     assert cfg["in_channels"] == 2 and len(cfg["channels"]) == 9
+    assert task == "unconditional"
+    _, task = _resolve_config("VOCODER_48K")
+    assert task == "vocoder"
+    _, task = _resolve_config("UPSAMPLER_16X")
+    assert task == "upsampler"
+
+
+def test_cli_upsampler_task(tmp_path):
+    """Train an upsampler via the CLI, then upsample a low-rate WAV."""
+    data = tmp_path / "data"
+    data.mkdir()
+    for i in range(2):
+        _write_wav(data / f"{i}.wav", seed=i)
+    cfg = tmp_path / "up.json"
+    cfg.write_text(json.dumps(dict(
+        _task="upsampler", channels=[8, 16], factors=[1, 2], items=[1, 1],
+        modulation_features=32)))
+    run = tmp_path / "run_up"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(run), "--steps", "2", "--batch", "2",
+          "--crop", "512", "--upsample-factor", "4",
+          "--log-every", "2", "--checkpoint-every", "100"])
+    rec = json.loads((run / "config.json").read_text())
+    assert rec["_task"] == "upsampler" and rec["_upsample_factor"] == 4
+
+    low = tmp_path / "low.wav"
+    _write_wav(low, frames=128, seed=9, sr=2000)
+    out = tmp_path / "up_out"
+    main(["sample", "--model", str(run / "model"), "--out", str(out),
+          "--steps", "2", "--length", "512", "--input", str(low)])
+    from audio_diffusion_tpu.data import wav_probe
+
+    wavs = sorted(out.glob("*.wav"))
+    assert len(wavs) == 1 and wavs[0].name == "upsampled_low.wav"
+    c, sr, n = wav_probe(wavs[0])
+    assert (c, sr, n) == (1, 8000, 128 * 4)  # 4x the low-rate input
+
+
+def test_cli_vocoder_task(tmp_path):
+    """Train a vocoder via the CLI, then re-vocode a reference WAV's mel."""
+    data = tmp_path / "data"
+    data.mkdir()
+    for i in range(2):
+        _write_wav(data / f"{i}.wav", seed=i)
+    cfg = tmp_path / "voc.json"
+    cfg.write_text(json.dumps(dict(
+        _task="vocoder", mel_n_fft=64, mel_channels=8,
+        channels=[8, 16], factors=[1, 2], items=[1, 1],
+        modulation_features=32)))
+    run = tmp_path / "run_voc"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(run), "--steps", "2", "--batch", "2",
+          "--crop", "512", "--log-every", "2",
+          "--checkpoint-every", "100"])
+    assert json.loads((run / "config.json").read_text())["_task"] == "vocoder"
+
+    ref = tmp_path / "ref.wav"
+    _write_wav(ref, frames=512, seed=9)
+    out = tmp_path / "voc_out"
+    main(["sample", "--model", str(run / "model"), "--out", str(out),
+          "--steps", "2", "--length", "512", "--input", str(ref)])
+    from audio_diffusion_tpu.data import wav_probe
+
+    wavs = sorted(out.glob("*.wav"))
+    assert len(wavs) == 1 and wavs[0].name == "vocoded_ref.wav"
+    c, sr, n = wav_probe(wavs[0])
+    assert (c, sr, n) == (1, 8000, 512)
