@@ -134,6 +134,21 @@ def main():
               "3x@25% exceeds v5e bf16 peak — see BASELINE.md",
               file=sys.stderr)
 
+    # Secondary diagnostic: int8 weight-only quantized sampling (ops/quant.py
+    # — 36% fewer HBM bytes per XLA cost analysis; ~+2% wall clock at
+    # batch 1, which is compute/serialization-bound, PERFORMANCE.md r3).
+    from audio_diffusion_tpu import quantize_params
+
+    qparams = jax.jit(quantize_params)(model.params)
+    _ = float(sample_many(qparams, noises))  # compile + warmup
+    t0 = time.perf_counter()
+    _ = float(sample_many(qparams, noises))
+    q_elapsed = max(time.perf_counter() - t0 - RTT, 1e-6)
+    print(f"diag: int8 weight-quantized sampling "
+          f"{1000*q_elapsed/(reps*NUM_STEPS):.2f} ms/step "
+          f"({NUM_STEPS*reps/q_elapsed:.1f} steps/s; rel-RMS error vs bf16 "
+          "1.3%, LSD 0.28 dB — PERFORMANCE.md r3)", file=sys.stderr)
+
     # Secondary diagnostic: train step (loss+grad+adam) samples/sec via the
     # library's donated train step (the real training path — measured ~25%
     # faster than a naive non-donated loop, PERFORMANCE.md).
