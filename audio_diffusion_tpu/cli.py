@@ -62,9 +62,18 @@ def _resolve_config(preset: str):
 
 def _build_model(cfg: Dict, sampler: str, task: str = "unconditional",
                  upsample_factor: Optional[int] = None):
+    import jax.numpy as jnp
+
     from . import (DiffusionModel, DiffusionUpsampler, DiffusionVocoder,
                    DPMSampler, UNetV0, VSampler)
 
+    # Compute dtype (master params stay f32 either way). bf16 is the TPU
+    # production setting (every PERFORMANCE.md number); configs record it
+    # as a string.
+    dtype = cfg.pop("_dtype", None)
+    if dtype is not None:
+        cfg["dtype"] = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+                        "f32": None, "float32": None}[dtype]
     sampler_t = {"v": VSampler, "dpm": DPMSampler}[sampler]
     if task == "upsampler":
         return DiffusionUpsampler(
@@ -94,7 +103,8 @@ def _cmd_train(args) -> None:
     if task == "vocoder":
         # The mel front end's rate defaults to the training data's.
         cfg.setdefault("mel_sample_rate", ds.sample_rate)
-    model = _build_model(cfg, "v", task, args.upsample_factor)
+    cfg.setdefault("_dtype", args.dtype)
+    model = _build_model(dict(cfg), "v", task, args.upsample_factor)
     model.initialize(jnp.zeros((1, ds.channels, args.crop)))
 
     out = Path(args.out)
@@ -152,6 +162,7 @@ def _cmd_sample(args) -> None:
                        or recorded.get("_upsample_factor"))
     if args.in_channels is not None:
         cfg["in_channels"] = args.in_channels
+    cfg.setdefault("_dtype", args.dtype)
     model = _build_model(cfg, args.sampler, task, upsample_factor)
     c = cfg.get("in_channels", 2)
     model.initialize(jnp.zeros((1, c, args.length)))
@@ -234,6 +245,9 @@ def main(argv=None) -> None:
                         "name or the JSON config's _task key)")
     t.add_argument("--upsample-factor", type=int, default=None,
                    help="upsampler task: the rate ratio (default 16)")
+    t.add_argument("--dtype", choices=("bf16", "f32"), default="bf16",
+                   help="compute dtype (master params stay f32); bf16 is "
+                        "the TPU production setting")
     t.set_defaults(fn=_cmd_train)
 
     s = sub.add_parser("sample", help="generate WAVs from a trained model")
@@ -256,6 +270,9 @@ def main(argv=None) -> None:
                    help="task-model input WAV: low-rate audio for an "
                         "upsampler, a reference WAV (mel source) for a "
                         "vocoder")
+    s.add_argument("--dtype", choices=("bf16", "f32"), default="bf16",
+                   help="compute dtype; the recorded training config wins "
+                        "when present")
     s.set_defaults(fn=_cmd_sample)
 
     args = ap.parse_args(argv)

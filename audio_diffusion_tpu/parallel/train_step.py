@@ -40,6 +40,7 @@ def make_train_step(
     donate: bool = True,
     ema_decay: Optional[float] = None,
     accum_steps: int = 1,
+    zero1: bool = False,
 ) -> Tuple[Callable, Callable]:
     """Build (init_state, train_step).
 
@@ -54,10 +55,30 @@ def make_train_step(
     its own fold of the step RNG key (matching how the same samples in
     separate batches would draw σ/noise).
 
+    zero1=True shards the OPTIMIZER momenta over the 'data' axis
+    (ZeRO-1 / optimizer-state sharding): params stay replicated (no change
+    to forward/backward), but each data shard stores and updates only its
+    1/data_size slice of the adam moments — on an N-chip DP mesh this cuts
+    per-chip optimizer memory from 2× params to 2/N× params, freeing HBM
+    for larger per-chip batches. No-op on meshes with data=1.
+
     Returns:
       init_state(params, rng) -> TrainState (sharded if mesh given)
       train_step(state, batch, **cond) -> (state, metrics) — jitted, donated.
     """
+    data_size = mesh.shape["data"] if mesh is not None else 1
+    # zero1 composes with pure DP; with a model axis the moments should
+    # follow the TP param sharding instead (already handled below).
+    use_zero1 = (zero1 and data_size > 1
+                 and (mesh is None or mesh.shape.get("model", 1) == 1))
+
+    def _zero1_spec(x) -> P:
+        """Shard a moment leaf over 'data' on its first divisible axis."""
+        shape = getattr(x, "shape", ())
+        for ax, n in enumerate(shape):
+            if n % data_size == 0 and n >= data_size:
+                return P(*([None] * ax), "data")
+        return P()
 
     def _put(x, sharding: NamedSharding):
         """device_put, multi-process-safe: when the mesh spans processes
@@ -102,6 +123,8 @@ def make_train_step(
 
             def put_opt(x):
                 spec = spec_by_shape.get(getattr(x, "shape", None), P())
+                if use_zero1 and spec == P():
+                    spec = _zero1_spec(x)
                 return _put(x, NamedSharding(mesh, spec))
 
             opt_sharded = jax.tree_util.tree_map(put_opt, state.opt_state)
@@ -160,6 +183,13 @@ def make_train_step(
         loss, grads = grad_fn(state.params, key, batch, **cond)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params)
+        if use_zero1:
+            # Keep the moments data-sharded through the step: the adam
+            # elementwise update then runs on each chip's 1/N slice only
+            # (ZeRO-1), with XLA slicing the (already-allreduced) grads.
+            opt_state = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, _zero1_spec(x))), opt_state)
         params = optax.apply_updates(state.params, updates)
         ema = state.ema
         if ema_decay is not None and ema is not None:

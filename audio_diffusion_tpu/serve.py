@@ -118,18 +118,33 @@ class GenerationService:
         How long to hold an incomplete batch open for more requests.
     params:
         Optional parameter snapshot (e.g. ``trainer.ema_params``) used for
-        every batch; defaults to the model's live ``model.params``.
+        every batch; defaults to the model's live ``model.params``. A tree
+        quantized by :func:`audio_diffusion_tpu.quantize_params` works here
+        (int8 weight streaming).
     method:
         Name of the model method to call (default ``"sample"``; use
         ``"decode"`` to serve DiffusionAE latents).
+    result_format:
+        ``"float32"`` (default): futures resolve to float32 audio.
+        ``"pcm16"``: audio is converted to int16 PCM ON DEVICE
+        (``clip(round(x·32767))``, the same quantization ``wav_write``
+        applies) and futures resolve to int16 arrays — a 4× smaller
+        device->host payload, which was the remaining bottleneck of remote
+        serving after seed requests removed the upload (PERFORMANCE.md
+        §8a2). Divide by 32767 to recover floats.
     """
 
     def __init__(self, model, *, num_steps: int = 50, batch_size: int = 8,
                  max_wait_ms: float = 100.0, params: Optional[Dict] = None,
-                 method: str = "sample"):
+                 method: str = "sample", result_format: str = "float32"):
         assert batch_size >= 1
+        assert result_format in ("float32", "pcm16"), result_format
         self._model = model
         self._method = method
+        self._result_format = result_format
+        self._to_pcm16 = jax.jit(
+            lambda x: jnp.clip(jnp.round(x.astype(jnp.float32) * 32767.0),
+                               -32768, 32767).astype(jnp.int16))
         self._num_steps = num_steps
         self._batch_size = batch_size
         self._max_wait = max_wait_ms / 1e3
@@ -380,6 +395,10 @@ class GenerationService:
                 cond["params"] = self._params
             out = getattr(self._model, self._method)(
                 batch, num_steps=reqs[0].num_steps, **cond)
+            if self._result_format == "pcm16":
+                # Quantize on device: the download shrinks 4x and the
+                # values are bit-identical to what wav_write would store.
+                out = self._to_pcm16(out)
             host = np.asarray(jax.device_get(out))
             with self._stats_lock:
                 self._n_batches += 1

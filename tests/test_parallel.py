@@ -189,3 +189,47 @@ def test_length_sharded_rejects_key():
     with pytest.raises(AssertionError, match="no key"):
         sample_length_sharded(model, noise, num_steps=2, mesh=mesh,
                               key=jax.random.key(0))
+
+
+def test_zero1_optimizer_sharding():
+    """ZeRO-1: adam moments shard over 'data' (1/N per chip), params stay
+    replicated, and the math is identical to the unsharded step."""
+    import optax
+    from audio_diffusion_tpu import DiffusionModel, UNetV0
+    from audio_diffusion_tpu.parallel import create_mesh, make_train_step, \
+        shard_batch
+
+    model = DiffusionModel(net_t=UNetV0, in_channels=2, channels=[8, 16],
+                           factors=[1, 2], items=[1, 1],
+                           modulation_features=32, seed=0)
+    model.initialize(jnp.zeros((1, 2, 256)))
+    mesh = create_mesh()  # 8-way data
+    batch = np.random.default_rng(0).standard_normal(
+        (8, 2, 256)).astype(np.float32)
+
+    losses = {}
+    moments = {}
+    for z in (False, True):
+        init_state, train_step = make_train_step(
+            model.loss, optax.adam(1e-3), mesh=mesh, zero1=z)
+        # Copy: train_step donates its state, and device_put aliases
+        # already-placed trees — both rounds must start from live params.
+        state = init_state(jax.tree.map(jnp.copy, model.params),
+                           jax.random.key(1))
+        if z:
+            # Moment leaves are physically sharded: a [16]-wide bias moment
+            # splits 8 ways (2 elements per shard).
+            mu = state.opt_state[0].mu
+            leaf = jax.tree_util.tree_leaves(mu)[0]
+            assert len(leaf.sharding.device_set) == 8
+            shard_elems = [s.data.size for s in leaf.addressable_shards]
+            assert sum(shard_elems) == leaf.size  # partitioned, not copies
+        for _ in range(2):
+            state, m = train_step(state, shard_batch(jnp.asarray(batch),
+                                                     mesh))
+        losses[z] = float(m["loss"])
+        moments[z] = np.asarray(
+            jax.tree_util.tree_leaves(state.opt_state[0].mu)[0])
+    assert losses[True] == pytest.approx(losses[False], rel=1e-5)
+    np.testing.assert_allclose(moments[True], moments[False], rtol=1e-5,
+                               atol=1e-7)

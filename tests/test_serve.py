@@ -261,3 +261,20 @@ def test_signature_normalizes_numeric_scalars():
     s_true = _signature(prim, {"flag": True}, num_steps=2)
     s_one = _signature(prim, {"flag": 1}, num_steps=2)
     assert s_true != s_one
+
+
+def test_pcm16_result_format(model):
+    """result_format='pcm16' converts on device: int16 results matching
+    the float path's wav_write quantization."""
+    noise = np.random.default_rng(5).standard_normal(
+        (2, 256)).astype(np.float32)
+    with GenerationService(model, num_steps=2, batch_size=1) as svc:
+        f32 = svc.submit(noise).result(timeout=120)
+    with GenerationService(model, num_steps=2, batch_size=1,
+                           result_format="pcm16") as svc:
+        pcm = svc.submit(noise).result(timeout=120)
+    assert pcm.dtype == np.int16 and pcm.shape == f32.shape
+    expect = np.clip(np.round(f32.astype(np.float32) * 32767.0),
+                     -32768, 32767).astype(np.int16)
+    # round-half ties may differ by 1 LSB between device and numpy.
+    assert np.abs(pcm.astype(np.int32) - expect.astype(np.int32)).max() <= 1
