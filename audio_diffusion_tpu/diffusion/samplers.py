@@ -113,9 +113,15 @@ class SDESampler(Sampler):
         x     = α_{i+1}·x_pred + β_{i+1}·n_mix
 
     eta=0 reproduces VSampler exactly (bit-for-bit, tested); eta=1 redraws
-    the full noise each step (ancestral / maximal churn). Stochasticity
-    can improve sample diversity and corrects accumulated solver error at
-    moderate step counts. Consumes an RNG key (needs_key)."""
+    the full noise each step (ancestral / maximal churn). Consumes an RNG
+    key (needs_key).
+
+    Measured guidance (trained flagship, 50 steps, PERFORMANCE.md r3):
+    moderate churn (eta≈0.3) matched or slightly improved corpus spectral
+    fidelity at unchanged sample diversity; full churn (eta=1.0) REDUCED
+    diversity ~4x and worsened fidelity — each step re-rolls the entire
+    noise, so the output is dominated by the final few denoising steps.
+    Prefer eta in [0, 0.7]."""
 
     diffusion_types = [VDiffusion]
     needs_key = True
