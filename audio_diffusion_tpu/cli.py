@@ -95,7 +95,10 @@ def _cmd_train(args) -> None:
     ds = AudioDataset(args.data, crop_frames=args.crop,
                       batch_size=args.batch, seed=args.seed)
     print(f"dataset: {len(ds.files)} files, {ds.channels} ch @ "
-          f"{ds.sample_rate} Hz, crop {args.crop}")
+          f"{ds.sample_rate} Hz, crop {args.crop}, upload dtype "
+          f"{ds.dtype.name}" + (" (lossless PCM16 passthrough, 4x smaller "
+                                "host->device batches)"
+                                if ds.dtype == "int16" else ""))
     cfg, task = _resolve_config(args.preset)
     if args.task is not None:
         task = args.task

@@ -1,3 +1,5 @@
-from .loader import AudioDataset, wav_probe, wav_read, wav_write
+from .loader import (AudioDataset, wav_probe, wav_probe_ex, wav_read,
+                     wav_write)
 
-__all__ = ["AudioDataset", "wav_probe", "wav_read", "wav_write"]
+__all__ = ["AudioDataset", "wav_probe", "wav_probe_ex", "wav_read",
+           "wav_write"]

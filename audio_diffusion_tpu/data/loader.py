@@ -21,7 +21,8 @@ from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["AudioDataset", "wav_probe", "wav_read", "wav_write"]
+__all__ = ["AudioDataset", "wav_probe", "wav_probe_ex", "wav_read",
+           "wav_write"]
 
 _SRC = Path(__file__).resolve().parent / "wavio.cpp"
 _LIB = None
@@ -81,6 +82,16 @@ def _load_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float)]
+        lib.wav_probe_ex.restype = ctypes.c_int
+        lib.wav_probe_ex.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.wav_read_batch_i16.restype = ctypes.c_int
+        lib.wav_read_batch_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int16)]
         lib.wav_write.restype = ctypes.c_int
         lib.wav_write.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
@@ -100,6 +111,26 @@ def wav_probe(path: str | os.PathLike) -> tuple[int, int, int]:
     if err != 0:
         raise IOError(f"wav_probe({path}) failed with code {err}")
     return c.value, sr.value, n.value
+
+
+def wav_probe_ex(path: str | os.PathLike) -> tuple[int, int, int, int, int]:
+    """Return (channels, sample_rate, frames, bits, format) of a WAV file.
+
+    format is the WAVE tag: 1 = PCM, 3 = IEEE float. (bits=16, format=1)
+    identifies files eligible for the lossless int16 passthrough path.
+    """
+    lib = _load_lib()
+    c = ctypes.c_int32()
+    sr = ctypes.c_int32()
+    n = ctypes.c_int64()
+    bits = ctypes.c_int32()
+    fmt = ctypes.c_int32()
+    err = lib.wav_probe_ex(str(path).encode(), ctypes.byref(c),
+                           ctypes.byref(sr), ctypes.byref(n),
+                           ctypes.byref(bits), ctypes.byref(fmt))
+    if err != 0:
+        raise IOError(f"wav_probe_ex({path}) failed with code {err}")
+    return c.value, sr.value, n.value, bits.value, fmt.value
 
 
 def wav_read(path: str | os.PathLike, start: int = 0,
@@ -141,9 +172,20 @@ def wav_write(path: str | os.PathLike, data, sample_rate: int,
 class AudioDataset:
     """Random-crop batches from a directory (or list) of WAV files.
 
-    Iterating yields float32 arrays [batch, channels, crop_frames]; the next
-    batch is assembled by the native decoder in a background thread while the
+    Iterating yields [batch, channels, crop_frames] arrays; the next batch
+    is assembled by the native decoder in a background thread while the
     current one is being consumed (double buffering).
+
+    dtype selects the batch element type:
+
+    - "float32": decoded floats in [-1, 1] (the classic path).
+    - "int16": raw PCM16 samples — for PCM16 corpora this is a LOSSLESS
+      bit copy, and the host->device upload shrinks 4x (the binding cost of
+      remote-tunnel training, PERFORMANCE.md). The jitted train step
+      dequantizes x/32768 in-graph, reproducing the float32 path's values
+      bit-exactly for PCM16 sources (wider formats are quantized at decode).
+    - "auto" (default): int16 iff every usable file is PCM16 (lossless),
+      else float32.
     """
 
     def __init__(
@@ -156,6 +198,7 @@ class AudioDataset:
         prefetch: int = 2,
         host_id: Optional[int] = None,
         num_hosts: Optional[int] = None,
+        dtype: str = "auto",
     ):
         """host_id/num_hosts: multi-host sharding — each host reads a
         disjoint stride of the file list (defaults to jax.process_index/
@@ -202,9 +245,10 @@ class AudioDataset:
         skipped = 0
         mismatched = 0
         too_short = 0
+        all_pcm16 = True
         for f in files:
             try:
-                c, sr, n = wav_probe(f)
+                c, sr, n, bits, fmt = wav_probe_ex(f)
             except IOError:
                 skipped += 1  # undecodable (ADPCM/a-law/...) or corrupt
                 continue
@@ -219,6 +263,14 @@ class AudioDataset:
             else:
                 self.files.append(f)
                 self.frames.append(n)
+                all_pcm16 &= (fmt == 1 and bits == 16)
+        self.all_pcm16 = all_pcm16 and bool(self.files)
+        assert dtype in ("auto", "float32", "int16"), (
+            f"dtype must be auto|float32|int16, got {dtype!r}")
+        self.dtype = np.dtype(
+            np.int16 if (dtype == "int16"
+                         or (dtype == "auto" and self.all_pcm16))
+            else np.float32)
         self.skipped_undecodable = skipped
         self.skipped_channel_mismatch = mismatched
         self.skipped_too_short = too_short
@@ -253,10 +305,15 @@ class AudioDataset:
             np.int64)
         paths = (ctypes.c_char_p * b)(
             *[str(self.files[i]).encode() for i in idx])
-        out = np.empty((b, c, t), np.float32)
-        err = lib.wav_read_batch(
-            paths, starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            b, c, t, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        out = np.empty((b, c, t), self.dtype)
+        if self.dtype == np.int16:
+            err = lib.wav_read_batch_i16(
+                paths, starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                b, c, t, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+        else:
+            err = lib.wav_read_batch(
+                paths, starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                b, c, t, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         if err != 0:
             raise IOError(f"wav_read_batch failed with code {err}")
         return out

@@ -106,6 +106,48 @@ bool convert(const uint8_t* raw, const WavInfo& info, uint64_t start_frame,
   return true;
 }
 
+// Convert interleaved raw samples to planar int16 [channels, frames].
+// PCM16 sources copy bits unchanged (lossless passthrough); wider formats
+// quantize with round-half-away (matching wav_write's PCM16 quantizer).
+bool convert_i16(const uint8_t* raw, const WavInfo& info,
+                 uint64_t start_frame, uint64_t num_frames, int16_t* out) {
+  const uint32_t c = info.channels;
+  const uint32_t bytes_per = info.bits / 8;
+  const uint8_t* p = raw + start_frame * c * bytes_per;
+  if (info.format == 1 && info.bits == 16) {  // lossless deinterleave
+    const int16_t* s = (const int16_t*)p;
+    for (uint64_t i = 0; i < num_frames; ++i)
+      for (uint32_t ch = 0; ch < c; ++ch)
+        out[(uint64_t)ch * num_frames + i] = s[i * c + ch];
+    return true;
+  }
+  for (uint64_t i = 0; i < num_frames; ++i) {
+    for (uint32_t ch = 0; ch < c; ++ch) {
+      const uint8_t* s = p + (i * c + ch) * bytes_per;
+      float v;
+      if (info.format == 3 && info.bits == 32) {
+        memcpy(&v, s, 4);
+      } else if (info.format == 1 && info.bits == 24) {
+        int32_t x = (int32_t)((uint32_t)s[0] | ((uint32_t)s[1] << 8) |
+                              ((uint32_t)s[2] << 16));
+        if (x & 0x800000) x |= (int32_t)0xFF000000;
+        v = (float)x / 8388608.0f;
+      } else if (info.format == 1 && info.bits == 32) {
+        int32_t x;
+        memcpy(&x, s, 4);
+        v = (float)x / 2147483648.0f;
+      } else {
+        return false;
+      }
+      if (v > 1.0f) v = 1.0f;
+      if (v < -1.0f) v = -1.0f;
+      int32_t q = (int32_t)(v * 32767.0f + (v >= 0 ? 0.5f : -0.5f));
+      out[(uint64_t)ch * num_frames + i] = (int16_t)q;
+    }
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -122,6 +164,25 @@ int wav_probe(const char* path, int32_t* channels, int32_t* sample_rate,
   *channels = (int32_t)info.channels;
   *sample_rate = (int32_t)info.sample_rate;
   *frames = (int64_t)(info.data_bytes / (info.channels * (info.bits / 8)));
+  return 0;
+}
+
+// Extended probe: also reports the sample format (1=PCM, 3=IEEE float) and
+// bit depth, so callers can pick the lossless int16 passthrough path for
+// PCM16 corpora. Returns 0 on success.
+int wav_probe_ex(const char* path, int32_t* channels, int32_t* sample_rate,
+                 int64_t* frames, int32_t* bits, int32_t* format) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  WavInfo info;
+  bool ok = read_header(f, &info);
+  fclose(f);
+  if (!ok) return -2;
+  *channels = (int32_t)info.channels;
+  *sample_rate = (int32_t)info.sample_rate;
+  *frames = (int64_t)(info.data_bytes / (info.channels * (info.bits / 8)));
+  *bits = (int32_t)info.bits;
+  *format = (int32_t)info.format;
   return 0;
 }
 
@@ -166,6 +227,52 @@ int wav_read_batch(const char** paths, const int64_t* starts,
   for (int32_t i = 0; i < batch; ++i) {
     int err = wav_read(paths[i], starts[i], crop_frames,
                        out + (uint64_t)i * channels * crop_frames);
+    if (err != 0) return -(i + 1) * 100 + err;
+  }
+  return 0;
+}
+
+// int16 variant of wav_read: decodes [start, start+num_frames) to planar
+// int16 [channels, frames]. For PCM16 files this is a lossless bit copy —
+// the basis of the 4x-smaller host->device upload path (loader dtype=int16;
+// the device dequantizes x/32768, reproducing wav_read's floats exactly).
+int wav_read_i16(const char* path, int64_t start, int64_t num_frames,
+                 int16_t* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  WavInfo info;
+  if (!read_header(f, &info)) { fclose(f); return -2; }
+  const uint64_t total =
+      info.data_bytes / (info.channels * (info.bits / 8));
+  if (start < 0 || (uint64_t)(start + num_frames) > total) {
+    fclose(f);
+    return -3;
+  }
+  const uint64_t bytes =
+      (uint64_t)num_frames * info.channels * (info.bits / 8);
+  uint8_t* raw = (uint8_t*)malloc(bytes);
+  if (!raw) { fclose(f); return -4; }
+  if (fseek(f, (long)(info.data_offset +
+                      (uint64_t)start * info.channels * (info.bits / 8)),
+            SEEK_SET) != 0 ||
+      fread(raw, 1, bytes, f) != bytes) {
+    free(raw);
+    fclose(f);
+    return -5;
+  }
+  fclose(f);
+  bool ok = convert_i16(raw, info, 0, (uint64_t)num_frames, out);
+  free(raw);
+  return ok ? 0 : -6;
+}
+
+// Batched int16 crop assembly (see wav_read_batch).
+int wav_read_batch_i16(const char** paths, const int64_t* starts,
+                       int32_t batch, int32_t channels, int64_t crop_frames,
+                       int16_t* out) {
+  for (int32_t i = 0; i < batch; ++i) {
+    int err = wav_read_i16(paths[i], starts[i], crop_frames,
+                           out + (uint64_t)i * channels * crop_frames);
     if (err != 0) return -(i + 1) * 100 + err;
   }
   return 0;

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from jax import Array
 
 from ..diffusion import VDiffusion, VSampler, mse_loss
-from ..utils import default, groupby, split_static_kwargs
+from ..utils import (default, dequant_pcm16 as _dequant_audio, groupby,
+                     split_static_kwargs)
 
 __all__ = ["DiffusionModel", "EncoderBase", "AdapterBase"]
 
@@ -119,7 +120,8 @@ class DiffusionModel:
         # dispatches the forward op-by-op (slow; pathological on remote
         # devices).
         self.params = self._jitted("init", self.init_params,
-                                   key=key, x=jnp.asarray(x), **kwargs)
+                                   key=key, x=_dequant_audio(jnp.asarray(x)),
+                                   **kwargs)
         return self.params
 
     def _auto_init(self, x, kwargs: Dict):
@@ -132,8 +134,12 @@ class DiffusionModel:
     # ------------------------------------------------------------- pure fns
     def loss(self, params: Dict, key: Array, x: Array, **kwargs) -> Array:
         """PURE training loss — differentiate with jax.grad. Text must be
-        pre-encoded to embedding= (use model._process_cond or encode_text)."""
-        return self.diffusion.loss(params["net"], key, x, **kwargs)
+        pre-encoded to embedding= (use model._process_cond or encode_text).
+
+        int16 audio (AudioDataset's PCM16 passthrough batches) is
+        dequantized x/32768 in-graph — bit-exact vs the float32 decode."""
+        return self.diffusion.loss(params["net"], key, _dequant_audio(x),
+                                   **kwargs)
 
     def sample_fn(self, params: Dict, *args, **kwargs) -> Array:
         """PURE sampling function (jittable)."""

@@ -17,7 +17,8 @@ from ..diffusion import ARVDiffusion, ARVSampler
 from ..dsp import MelSpectrogram, downsample, upsample
 from ..ops.components import AppendChannelsPlugin
 from ..ops.conv import ConvTranspose1d
-from ..utils import closest_power_2, default, exists, groupby
+from ..utils import (closest_power_2, default, dequant_pcm16, exists,
+                     groupby)
 from .model import AdapterBase, DiffusionModel, EncoderBase
 
 __all__ = [
@@ -76,6 +77,7 @@ class DiffusionAE(DiffusionModel):
             "DiffusionAE owns the channels= conditioning (it injects its "
             "encoder latent at inject_depth, reference models.py:103); "
             "pass other context through the encoder or a different kwarg")
+        x = dequant_pcm16(x)
         latent, info = self.encoder.apply(params["encoder"], x, with_info=True)
         channels = [None] * self.inject_depth + [latent]
         x_in = self.adapter.encode(x) if exists(self.adapter) else x
@@ -144,6 +146,7 @@ class DiffusionUpsampler(DiffusionModel):
             key, x, append_channels=self.reupsample(x), **kwargs)}
 
     def loss(self, params: Dict, key: Array, x: Array, **kwargs) -> Array:
+        x = dequant_pcm16(x)
         reupsampled = self.reupsample(x)
         return self.diffusion.loss(
             params["net"], key, x, append_channels=reupsampled, **kwargs)
@@ -226,6 +229,7 @@ class DiffusionVocoder(DiffusionModel):
         return {"net": net_params, "to_flat": to_flat_params}
 
     def loss(self, params: Dict, key: Array, x: Array, **kwargs) -> Array:
+        x = dequant_pcm16(x)
         spec = self.to_spectrogram(x)  # [b, c, f, l]
         b, c = spec.shape[0], spec.shape[1]
         spec = spec.reshape((b * c,) + spec.shape[2:])

@@ -17,7 +17,7 @@ from jax import Array
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.net import contains_array
-from ..utils import split_static_kwargs
+from ..utils import dequant_pcm16, split_static_kwargs
 from .mesh import param_sharding_rules
 
 __all__ = ["TrainState", "make_train_step"]
@@ -179,6 +179,10 @@ def make_train_step(
             lambda g: g * inv, grads_sum)
 
     def step_fn(state: TrainState, batch, **cond):
+        # int16 batches (AudioDataset dtype="int16"/"auto" on PCM16 corpora)
+        # upload 4x smaller; the in-graph x/32768 dequant reproduces the
+        # float32 decode bit-exactly (both factors are powers of two).
+        batch = jax.tree_util.tree_map(dequant_pcm16, batch)
         rng, key = jax.random.split(state.rng)
         loss, grads = grad_fn(state.params, key, batch, **cond)
         updates, opt_state = optimizer.update(

@@ -35,6 +35,7 @@ __all__ = [
     "groupby",
     "prefix_dict",
     "Static",
+    "dequant_pcm16",
 ]
 
 
@@ -161,3 +162,19 @@ def groupby(prefix: str, d: Dict, keep_prefix: bool = False) -> Tuple[Dict, Dict
 
 def prefix_dict(prefix: str, d: Dict) -> Dict:
     return {prefix + str(k): v for k, v in d.items()}
+
+
+def dequant_pcm16(x):
+    """Dequantize int16 PCM audio to float32 in [-1, 1); other dtypes pass
+    through unchanged.
+
+    AudioDataset's PCM16 passthrough (data/loader.py, dtype="int16"/"auto")
+    uploads raw int16 samples — 4x smaller host->device batches — and relies
+    on model/train-step entry points calling this in-graph. x/32768 with
+    power-of-two factors reproduces the float32 decode path bit-exactly.
+    """
+    import jax.numpy as jnp
+
+    if hasattr(x, "dtype") and x.dtype == jnp.int16:
+        return x.astype(jnp.float32) * (1.0 / 32768.0)
+    return x

@@ -77,14 +77,20 @@ def test_read_out_of_range(tmp_path):
 
 
 def test_dataset_batches(wav_dir):
+    # An all-PCM16 corpus auto-selects the lossless int16 passthrough.
     ds = AudioDataset(wav_dir, crop_frames=256, batch_size=4, seed=1)
     assert ds.channels == 2 and ds.sample_rate == 16000
     it = iter(ds)
     b1 = next(it)
     b2 = next(it)
-    assert b1.shape == (4, 2, 256) and b1.dtype == np.float32
-    assert not np.allclose(b1, b2)  # random crops differ
-    assert float(np.abs(b1).max()) <= 1.0
+    assert b1.shape == (4, 2, 256) and b1.dtype == np.int16
+    assert not np.array_equal(b1, b2)  # random crops differ
+
+    dsf = AudioDataset(wav_dir, crop_frames=256, batch_size=4, seed=1,
+                       dtype="float32")
+    bf = next(iter(dsf))
+    assert bf.shape == (4, 2, 256) and bf.dtype == np.float32
+    assert float(np.abs(bf).max()) <= 1.0
 
 
 def test_dataset_rejects_short_files(tmp_path):
@@ -216,6 +222,77 @@ def test_dataset_warns_on_channel_mismatch(tmp_path):
                                channels=1)
     assert ds_mono.skipped_channel_mismatch == 2
     assert len(ds_mono.files) == 1
+
+
+def test_pcm16_passthrough_lossless(wav_dir):
+    """dtype="auto" on an all-PCM16 corpus yields int16 batches whose
+    x/32768 dequant is BIT-EXACT vs the float32 decode path (the basis of
+    the 4x-smaller host->device upload, data/wavio.cpp::wav_read_batch_i16).
+    """
+    ds16 = AudioDataset(wav_dir, crop_frames=256, batch_size=4, seed=9)
+    assert ds16.all_pcm16 and ds16.dtype == np.int16
+    dsf = AudioDataset(wav_dir, crop_frames=256, batch_size=4, seed=9,
+                       dtype="float32")
+    b16 = next(iter(ds16))
+    bf = next(iter(dsf))
+    assert b16.dtype == np.int16 and bf.dtype == np.float32
+    np.testing.assert_array_equal(b16.astype(np.float32) / 32768.0, bf)
+
+
+def test_pcm16_probe_ex(tmp_path):
+    from audio_diffusion_tpu.data import wav_probe_ex
+
+    rng = np.random.default_rng(11)
+    data = (rng.standard_normal((2, 500)) * 0.3).astype(np.float32)
+    _write_wav(tmp_path / "a.wav", data)                 # PCM16
+    _write_wav(tmp_path / "b.wav", data, fmt="pcm32")    # PCM32
+    assert wav_probe_ex(tmp_path / "a.wav") == (2, 16000, 500, 16, 1)
+    assert wav_probe_ex(tmp_path / "b.wav") == (2, 16000, 500, 32, 1)
+
+
+def test_auto_dtype_falls_back_on_mixed_corpus(wav_dir):
+    """A non-PCM16 file in the corpus flips dtype="auto" to float32 (int16
+    would quantize the wider formats)."""
+    rng = np.random.default_rng(12)
+    _write_wav(wav_dir / "wide.wav",
+               (rng.standard_normal((2, 4000)) * 0.3).astype(np.float32),
+               fmt="pcm32")
+    ds = AudioDataset(wav_dir, crop_frames=256, batch_size=2)
+    assert not ds.all_pcm16 and ds.dtype == np.float32
+    # Forcing int16 still works: wider sources quantize at decode.
+    dsq = AudioDataset(wav_dir, crop_frames=256, batch_size=2,
+                       dtype="int16")
+    b = next(iter(dsq))
+    assert b.dtype == np.int16
+
+
+def test_train_step_dequantizes_int16_batches():
+    """make_train_step must accept int16 batches (PCM16 passthrough) and
+    produce the SAME loss/params as the equivalent float32 batch — the
+    dequant x/32768 is in-graph and bit-exact (parallel/train_step.py)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audio_diffusion_tpu.parallel import make_train_step
+
+    def loss_fn(params, key, x):
+        return jnp.mean((x * params["w"]) ** 2)
+
+    opt = optax.sgd(1e-2)
+    init_fn, step = make_train_step(loss_fn, opt)
+    rng = np.random.default_rng(13)
+    xi = rng.integers(-32768, 32768, size=(4, 2, 64), dtype=np.int16)
+    xf = xi.astype(np.float32) / 32768.0
+
+    # Fresh params per run: the jitted step donates its input state.
+    s0 = init_fn({"w": jnp.float32(1.5)}, jax.random.PRNGKey(0))
+    s_i, m_i = step(s0, jnp.asarray(xi))
+    s0 = init_fn({"w": jnp.float32(1.5)}, jax.random.PRNGKey(0))
+    s_f, m_f = step(s0, jnp.asarray(xf))
+    assert float(m_i["loss"]) == float(m_f["loss"])
+    np.testing.assert_array_equal(np.asarray(s_i.params["w"]),
+                                  np.asarray(s_f.params["w"]))
 
 
 def test_dataset_warns_on_short_files(tmp_path):

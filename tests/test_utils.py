@@ -50,3 +50,20 @@ def test_groupby():
 
 def test_prefix_dict():
     assert prefix_dict("mel_", {"n_fft": 1024}) == {"mel_n_fft": 1024}
+
+
+def test_dequant_pcm16():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audio_diffusion_tpu.utils import dequant_pcm16
+
+    xi = jnp.array([[-32768, -1, 0, 1, 32767]], jnp.int16)
+    out = dequant_pcm16(xi)
+    assert out.dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(out), np.array([[-1.0, -1 / 32768, 0.0, 1 / 32768,
+                                    32767 / 32768]], np.float32))
+    # Non-int16 inputs pass through untouched (same object).
+    xf = jnp.ones((2, 3), jnp.bfloat16)
+    assert dequant_pcm16(xf) is xf
