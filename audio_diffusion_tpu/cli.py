@@ -223,6 +223,53 @@ def _cmd_sample(args) -> None:
           f"{args.sampler}, {sample_rate} Hz) to {out}")
 
 
+def _cmd_eval(args) -> None:
+    import numpy as np
+
+    from .data import wav_probe, wav_read
+    from .eval import band_distance, band_profile, pairwise_diversity
+
+    refs = sorted(Path(args.ref).glob("*.wav"))[:args.max_ref]
+    if not refs:
+        raise SystemExit(f"no .wav files under {args.ref}")
+    samples = sorted(Path(args.samples).glob("*.wav"))
+    if not samples:
+        raise SystemExit(f"no .wav files under {args.samples}")
+
+    # One common crop so every profile lives on the same band grid.
+    lengths = [wav_probe(f)[2] for f in refs + samples]
+    crop = min([args.crop] + lengths) if args.crop else min(lengths)
+    sr = args.sample_rate or wav_probe(refs[0])[1]
+
+    ref_audio = np.stack([wav_read(f, 0, crop) for f in refs])
+    ref_prof = band_profile(ref_audio, sr)
+    rng = np.random.default_rng(0)
+    noise_base = band_distance(band_profile(
+        rng.standard_normal(ref_audio.shape[1:]).astype(np.float32)
+        * float(ref_audio.std()), sr), ref_prof)
+
+    dists = []
+    sample_audio = []
+    for f in samples:
+        x = wav_read(f, 0, crop)
+        sample_audio.append(x)
+        d = band_distance(band_profile(x, sr), ref_prof)
+        dists.append(d)
+        print(f"{f.name}: band-dist {d:.3f}, rms {x.std():.3f}, "
+              f"peak {np.abs(x).max():.3f}, "
+              f"finite {bool(np.isfinite(x).all())}")
+    div = (pairwise_diversity(np.stack(sample_audio), sr)
+           if len(sample_audio) >= 2 else None)
+    summary = {"num_samples": len(samples), "sample_rate": sr,
+               "crop": int(crop),
+               "band_dist_mean": round(float(np.mean(dists)), 4),
+               "band_dist_worst": round(float(np.max(dists)), 4),
+               "noise_baseline": round(noise_base, 4),
+               "pairwise_diversity": (round(div, 4)
+                                      if div is not None else None)}
+    print(json.dumps(summary))
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="audio_diffusion_tpu",
                                  description=__doc__.split("\n")[0])
@@ -277,6 +324,23 @@ def main(argv=None) -> None:
                    help="compute dtype; the recorded training config wins "
                         "when present")
     s.set_defaults(fn=_cmd_sample)
+
+    e = sub.add_parser(
+        "eval", help="score generated WAVs against a reference corpus "
+        "(third-octave band-profile distance + diversity; the metrics "
+        "behind PERFORMANCE.md's quality numbers)")
+    e.add_argument("--ref", required=True,
+                   help="directory of reference corpus WAVs")
+    e.add_argument("--samples", required=True,
+                   help="directory of generated WAVs to score")
+    e.add_argument("--crop", type=int, default=None,
+                   help="analysis length in frames (default: shortest "
+                        "file among refs+samples)")
+    e.add_argument("--max-ref", type=int, default=16,
+                   help="number of reference files for the corpus profile")
+    e.add_argument("--sample-rate", type=int, default=None,
+                   help="override the rate probed from the first ref")
+    e.set_defaults(fn=_cmd_eval)
 
     args = ap.parse_args(argv)
     args.fn(args)
