@@ -223,6 +223,71 @@ def _cmd_sample(args) -> None:
           f"{args.sampler}, {sample_rate} Hz) to {out}")
 
 
+def _cmd_info(args) -> None:
+    """Describe a training run: recorded config, geometry, param count,
+    available checkpoints — without touching an accelerator."""
+    import numpy as np
+
+    run = Path(args.run)
+    cfg_path = run / "config.json"
+    if not cfg_path.exists():
+        raise SystemExit(f"no config.json under {run} — is this a run "
+                         "directory written by `train`?")
+    recorded = json.loads(cfg_path.read_text())
+    cfg = dict(recorded)
+    task = cfg.pop("_task", "unconditional")
+    sr = cfg.pop("_sample_rate", None)
+    cfg.pop("_upsample_factor", None)
+    dtype = cfg.pop("_dtype", None)
+
+    print(f"run: {run}")
+    print(f"task: {task}   sample_rate: {sr}   compute dtype: "
+          f"{dtype or 'f32'}")
+    chs = cfg.get("channels")
+    if chs is not None:
+        factors = cfg.get("factors", [])
+        print(f"net: {len(chs)}-level U-Net, channels {chs}")
+        if factors:
+            print(f"     factors {factors} (total downsampling "
+                  f"x{int(np.prod(factors))})")
+        att = cfg.get("attentions")
+        if att:
+            print(f"     attention at levels "
+                  f"{[i for i, a in enumerate(att) if a]}")
+    ckpts = run / "ckpts"
+    if ckpts.exists():
+        steps = sorted(int(p.name) for p in ckpts.iterdir()
+                       if p.name.isdigit())
+        print(f"checkpoints: {steps if steps else 'none'}")
+    for name in ("model", "model_distilled8"):
+        if (run / name).exists():
+            print(f"exported params: {run / name}")
+    if args.params:
+        # Param count needs the real tree: initialize at a short length
+        # (conv nets: the count is length-independent).
+        import jax
+        import jax.numpy as jnp
+
+        try:
+            dev = jax.devices("cpu")[0]
+        except RuntimeError:
+            dev = jax.devices()[0]
+        with jax.default_device(dev):
+            net_cfg = {k: v for k, v in recorded.items()
+                       if not k.startswith("_")}
+            if dtype:
+                net_cfg["_dtype"] = dtype
+            model = _build_model(net_cfg, "v", task,
+                                 recorded.get("_upsample_factor"))
+            c = cfg.get("in_channels", 2)
+            L = int(np.prod(cfg.get("factors", [1])) or 1)
+            model.initialize(jnp.zeros((1, c, max(L, 64))))
+            n = sum(int(np.prod(p.shape))
+                    for p in jax.tree_util.tree_leaves(model.params))
+            print(f"parameters: {n/1e6:.1f} M "
+                  f"({n*4/1e9:.2f} GB f32 master)")
+
+
 def _cmd_eval(args) -> None:
     import numpy as np
 
@@ -341,6 +406,14 @@ def main(argv=None) -> None:
     e.add_argument("--sample-rate", type=int, default=None,
                    help="override the rate probed from the first ref")
     e.set_defaults(fn=_cmd_eval)
+
+    i = sub.add_parser("info", help="describe a training run (config, "
+                       "geometry, checkpoints, optional param count)")
+    i.add_argument("--run", required=True,
+                   help="run directory written by `train`")
+    i.add_argument("--params", action="store_true",
+                   help="also initialize the net (CPU) and count params")
+    i.set_defaults(fn=_cmd_info)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -141,3 +141,21 @@ def test_cli_vocoder_task(tmp_path):
     assert len(wavs) == 1 and wavs[0].name == "vocoded_ref.wav"
     c, sr, n = wav_probe(wavs[0])
     assert (c, sr, n) == (1, 8000, 512)
+
+
+def test_cli_info(tiny_setup, capsys):
+    data, cfg, tmp = tiny_setup
+    run = tmp / "run_info"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(run), "--steps", "2", "--batch", "2",
+          "--crop", "512", "--log-every", "1", "--checkpoint-every", "2"])
+    capsys.readouterr()
+    main(["info", "--run", str(run), "--params"])
+    out = capsys.readouterr().out
+    assert "task: unconditional" in out
+    assert "2-level U-Net" in out and "[8, 16]" in out
+    assert "exported params" in out
+    assert "parameters:" in out and " M " in out
+
+    with pytest.raises(SystemExit, match="config.json"):
+        main(["info", "--run", str(tmp / "nonexistent")])
