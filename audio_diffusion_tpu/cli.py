@@ -122,7 +122,8 @@ def _cmd_train(args) -> None:
         learning_rate=args.lr, ema_decay=args.ema_decay,
         checkpoint_dir=str(out / "ckpts"),
         checkpoint_every=args.checkpoint_every, log_every=args.log_every,
-        accum_steps=args.accum_steps), mesh=create_mesh())
+        accum_steps=args.accum_steps,
+        steps_per_call=args.steps_per_call), mesh=create_mesh())
     resumed = trainer.restore_latest()
     remaining = args.steps
     if resumed is not None:
@@ -351,6 +352,10 @@ def main(argv=None) -> None:
     t.add_argument("--lr", type=float, default=1e-4)
     t.add_argument("--ema-decay", type=float, default=None)
     t.add_argument("--accum-steps", type=int, default=1)
+    t.add_argument("--steps-per-call", type=int, default=1,
+                   help="optimizer steps scanned per device call (uploads "
+                        "that many stacked batches at once; amortizes "
+                        "per-step dispatch/RTT on remote-attached TPUs)")
     t.add_argument("--checkpoint-every", type=int, default=1000)
     t.add_argument("--log-every", type=int, default=50)
     t.add_argument("--seed", type=int, default=0)

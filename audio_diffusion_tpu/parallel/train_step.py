@@ -41,6 +41,7 @@ def make_train_step(
     ema_decay: Optional[float] = None,
     accum_steps: int = 1,
     zero1: bool = False,
+    steps_per_call: int = 1,
 ) -> Tuple[Callable, Callable]:
     """Build (init_state, train_step).
 
@@ -61,6 +62,17 @@ def make_train_step(
     1/data_size slice of the adam moments — on an N-chip DP mesh this cuts
     per-chip optimizer memory from 2× params to 2/N× params, freeing HBM
     for larger per-chip batches. No-op on meshes with data=1.
+
+    steps_per_call > 1 runs K full optimizer steps per device call: the
+    batch argument becomes K STACKED batches [K, batch, ...] and one
+    `lax.scan` performs all K steps on-device — one dispatch and one
+    host->device transfer per K steps instead of per step. This is the
+    remote-execution amortizer (a ~30 ms-RTT tunnel otherwise taxes every
+    step, PERFORMANCE.md); on a local host it only trims dispatch
+    overhead. Math is identical to K sequential calls (identity-tested).
+    Conditioning arrays are loop-invariant (shared by all K steps);
+    metrics come back stacked [K] per leaf so no loss-curve granularity
+    is lost.
 
     Returns:
       init_state(params, rng) -> TrainState (sharded if mesh given)
@@ -223,6 +235,19 @@ def make_train_step(
             return step_fn(state, batch, **cond_all)
     else:
         inner_step = step_fn
+
+    if steps_per_call > 1:
+        single_step = inner_step
+
+        def inner_step(state: TrainState, batches, **cond_all):  # noqa: F811
+            # batches: K stacked batches on the leading axis; one scan
+            # runs all K optimizer steps on-device. Conditioning is
+            # loop-invariant (closure), matching K sequential calls with
+            # the same cond.
+            def body(s, b):
+                return single_step(s, b, **cond_all)
+
+            return jax.lax.scan(body, state, batches)
 
     # Conditioning kwargs split traced-vs-static per call: scalars like
     # embedding_mask_proba select program structure and must be static,

@@ -51,6 +51,11 @@ class TrainerConfig:
     # Gradient accumulation: each optimizer step scans accum_steps
     # microbatches (the batch's leading dim must be divisible by it).
     accum_steps: int = 1
+    # Multi-step dispatch: each device call scans steps_per_call full
+    # optimizer steps over that many stacked batches — one dispatch and
+    # one host->device transfer per K steps. The remote-execution
+    # amortizer (see make_train_step); identical math to K single calls.
+    steps_per_call: int = 1
 
 
 class Trainer:
@@ -99,7 +104,9 @@ class Trainer:
         self._init_state_fn, self.train_step = make_train_step(
             model.loss, optimizer, mesh=mesh,
             ema_decay=self.config.ema_decay,
-            accum_steps=self.config.accum_steps)
+            accum_steps=self.config.accum_steps,
+            steps_per_call=self.config.steps_per_call)
+        self._tail_step_cached = None  # single-step program for remainders
         self.state: Optional[TrainState] = None
 
         self._ckpt_mgr = None
@@ -179,6 +186,15 @@ class Trainer:
             self.state.params)
 
     # ----------------------------------------------------------------- fit
+    def _tail_step(self, state, batch, **cond):
+        """Single-step program for the num_steps % steps_per_call tail."""
+        if self._tail_step_cached is None:
+            _, self._tail_step_cached = make_train_step(
+                self.model.loss, self.optimizer, mesh=self.mesh,
+                ema_decay=self.config.ema_decay,
+                accum_steps=self.config.accum_steps)
+        return self._tail_step_cached(state, batch, **cond)
+
     def fit(self, batches: Iterable, num_steps: int, **cond) -> Dict:
         """Run `num_steps` steps over `batches`; returns the last metrics."""
         prev_debug_nans = jax.config.jax_debug_nans
@@ -196,24 +212,49 @@ class Trainer:
         step = int(self.state.step)
         step_last_log = step
         profiling = False
+        k = max(cfg.steps_per_call, 1)
+        # Multi-step dispatch: ceil-chunked — a final partial chunk runs
+        # as single steps (its own compiled program) so any num_steps
+        # works; see make_train_step(steps_per_call=...).
+        num_calls = num_steps // k
+        tail = num_steps - num_calls * k
         try:
-            for i in range(num_steps):
-                batch = next(it)
+            for i in range(num_calls + tail):
+                kk = k if i < num_calls else 1
+                if kk == 1 and k > 1:
+                    batch = next(it)
+                elif k > 1:
+                    import numpy as np
+
+                    batch = np.stack([next(it) for _ in range(kk)])
+                else:
+                    batch = next(it)
 
                 if (cfg.profile_dir is not None
                         and step == cfg.profile_start_step):
                     jax.profiler.start_trace(cfg.profile_dir)
                     profiling = True
-                self.state, metrics = self.train_step(
-                    self.state, batch, **cond)
-                step += 1
+                if kk == 1 and k > 1:
+                    self.state, metrics = self._tail_step(
+                        self.state, batch, **cond)
+                else:
+                    self.state, metrics = self.train_step(
+                        self.state, batch, **cond)
+                if kk > 1:
+                    # Stacked [K] metrics: keep the last step's values
+                    # (device-lazy; only fetched at log time).
+                    metrics = jax.tree_util.tree_map(
+                        lambda m: m[-1], metrics)
+                step += kk
                 if (profiling and step >= cfg.profile_start_step
                         + cfg.profile_num_steps):
                     jax.block_until_ready(metrics["loss"])
                     jax.profiler.stop_trace()
                     profiling = False
 
-                if step % cfg.log_every == 0 or i == num_steps - 1:
+                crossed_log = (step % cfg.log_every < kk
+                               or i == num_calls + tail - 1)
+                if crossed_log:
                     loss = float(metrics["loss"])
                     gnorm = float(metrics["grad_norm"])
                     now = time.perf_counter()
@@ -224,7 +265,7 @@ class Trainer:
                         f"grad_norm={gnorm:.3f} steps/s={sps:.2f}")
 
                 if (self._ckpt_mgr is not None
-                        and step % cfg.checkpoint_every == 0):
+                        and step % cfg.checkpoint_every < kk):
                     self.save_checkpoint(step)
         finally:
             if self.config.debug_nans:  # don't leak the mode past fit()

@@ -233,3 +233,66 @@ def test_zero1_optimizer_sharding():
     assert losses[True] == pytest.approx(losses[False], rel=1e-5)
     np.testing.assert_allclose(moments[True], moments[False], rtol=1e-5,
                                atol=1e-7)
+
+
+def test_steps_per_call_identity():
+    """steps_per_call=K (one scanned device call over K stacked batches)
+    must produce EXACTLY the params/metrics of K sequential single-step
+    calls — the remote-dispatch amortizer changes scheduling, not math."""
+    from audio_diffusion_tpu.parallel import make_train_step
+
+    w0 = {"w": jnp.asarray([[1.5, -0.5], [0.25, 2.0]], jnp.float32)}
+    batches = jax.random.normal(jax.random.key(0), (3, 4, 2))
+
+    def loss_fn(params, key, batch):
+        # Key-dependent: the scanned path must fold the SAME rng chain.
+        noise = jax.random.normal(key, batch.shape) * 0.01
+        pred = (batch + noise) @ params["w"]
+        return jnp.mean(jnp.square(pred - 1.0))
+
+    opt = optax.adam(1e-2)
+    init_state, step1 = make_train_step(loss_fn, opt, donate=False)
+    state = init_state(w0, jax.random.key(1))
+    singles = []
+    for i in range(3):
+        state, m = step1(state, batches[i])
+        singles.append(float(m["loss"]))
+
+    init_state, stepK = make_train_step(loss_fn, opt, donate=False,
+                                        steps_per_call=3)
+    stateK = init_state(w0, jax.random.key(1))
+    stateK, mK = stepK(stateK, batches)
+    assert mK["loss"].shape == (3,)  # stacked per-step metrics
+    np.testing.assert_allclose(np.asarray(mK["loss"]),
+                               np.asarray(singles, np.float32), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stateK.params["w"]),
+                               np.asarray(state.params["w"]), atol=1e-6)
+    assert int(stateK.step) == 3
+
+
+def test_steps_per_call_sharded():
+    """K-step dispatch under a DP mesh: constraint applies per scanned
+    batch; result equals the unsharded K-step run."""
+    from audio_diffusion_tpu.parallel import make_train_step
+
+    mesh8 = create_mesh()  # 8-way DP
+
+    w0 = {"w": jnp.asarray([[1.0, 0.5], [-0.25, 2.0]], jnp.float32)}
+    batches = jax.random.normal(jax.random.key(2), (2, 8, 2))
+
+    def loss_fn(params, key, batch):
+        return jnp.mean(jnp.square(batch @ params["w"] - 1.0))
+
+    opt = optax.sgd(0.1)
+    init_state, stepK = make_train_step(loss_fn, opt, donate=False,
+                                        steps_per_call=2)
+    ref_state = init_state(w0, jax.random.key(3))
+    ref_state, _ = stepK(ref_state, batches)
+
+    init_m, stepK_m = make_train_step(loss_fn, opt, donate=False,
+                                      steps_per_call=2, mesh=mesh8)
+    state_m = init_m(w0, jax.random.key(3))
+    state_m, mm = stepK_m(state_m, batches)
+    np.testing.assert_allclose(np.asarray(state_m.params["w"]),
+                               np.asarray(ref_state.params["w"]),
+                               atol=1e-6)

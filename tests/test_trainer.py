@@ -201,3 +201,26 @@ def test_lr_schedules():
         Trainer(model, TrainerConfig(lr_schedule="cosine"))
     with pytest.raises(AssertionError, match="unknown lr_schedule"):
         Trainer(model, TrainerConfig(lr_schedule="linear"))
+
+
+def test_steps_per_call_via_trainer(tmp_path):
+    """TrainerConfig(steps_per_call=K): chunked dispatch with a
+    non-divisible step count (tail runs single steps), checkpoint cadence
+    crossing preserved, final step counter exact, loss still learns."""
+    model = DiffusionModel(**TINY)
+    model.initialize(next(iter(_batches())))
+    logs = []
+    trainer = Trainer(
+        model,
+        TrainerConfig(learning_rate=1e-3, log_every=4, steps_per_call=4,
+                      checkpoint_dir=str(tmp_path / "ck"),
+                      checkpoint_every=8),
+        log_fn=logs.append,
+    )
+    m = trainer.fit(_batches(), num_steps=11)  # 2 chunks of 4 + 3 tail
+    assert int(trainer.state.step) == 11
+    assert np.isfinite(float(m["loss"]))
+    # Checkpoint crossing at step 8 happened despite K=4 strides.
+    assert trainer.restore_latest() == 8
+    # log_every=4 crossings present.
+    assert any("step 4:" in ln or "step 5:" in ln for ln in logs)
