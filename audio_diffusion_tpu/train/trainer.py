@@ -18,6 +18,7 @@ from pathlib import Path
 from typing import Any, Callable, Dict, Iterable, Optional
 
 import jax
+import numpy as np
 import optax
 from jax.sharding import Mesh
 
@@ -224,8 +225,6 @@ class Trainer:
                 if kk == 1 and k > 1:
                     batch = next(it)
                 elif k > 1:
-                    import numpy as np
-
                     batch = np.stack([next(it) for _ in range(kk)])
                 else:
                     batch = next(it)
