@@ -23,6 +23,7 @@ from .diffusion import (
 from . import presets
 from .distill import ProgressiveDistiller
 from .serve import GenerationService
+from .server import make_server, wav_bytes
 from .dsp import MelSpectrogram
 from .models import (
     AdapterBase,
@@ -44,6 +45,8 @@ __version__ = "0.1.0"
 __all__ = [
     "presets",
     "GenerationService",
+    "make_server",
+    "wav_bytes",
     "QTensor",
     "quantize_params",
     "dequantize_params",

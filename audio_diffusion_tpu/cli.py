@@ -88,17 +88,32 @@ def _build_model(cfg: Dict, sampler: str, task: str = "unconditional",
 def _cmd_train(args) -> None:
     import jax.numpy as jnp
 
-    from .data import AudioDataset
+    from .data import AudioDataset, DeviceCorpus
     from .parallel import create_mesh
     from .train import Trainer, TrainerConfig
 
     ds = AudioDataset(args.data, crop_frames=args.crop,
                       batch_size=args.batch, seed=args.seed)
+    # Data placement: "device" keeps the whole corpus HBM-resident and
+    # crops batches on device — zero per-step uploads, which on
+    # remote/tunnel TPUs is both the throughput bound AND a host-memory
+    # leak in the tunnel client (see data/device.py). "auto" picks device
+    # when the corpus fits comfortably (<= 1 GiB).
+    corpus_bytes = sum(ds.frames) * ds.channels * ds.dtype.itemsize
+    use_device = (args.data_placement == "device"
+                  or (args.data_placement == "auto"
+                      and corpus_bytes <= 1 << 30))
+    if use_device:
+        ds = DeviceCorpus(args.data, crop_frames=args.crop,
+                          batch_size=args.batch, seed=args.seed,
+                          max_bytes=max(corpus_bytes, 1 << 30))
+    place = (f"device-resident ({corpus_bytes/2**20:.0f} MB HBM, zero "
+             "per-step uploads)" if use_device
+             else f"host (upload dtype {ds.dtype.name}"
+             + (", lossless PCM16 passthrough, 4x smaller batches)"
+                if ds.dtype.name == "int16" else ")"))
     print(f"dataset: {len(ds.files)} files, {ds.channels} ch @ "
-          f"{ds.sample_rate} Hz, crop {args.crop}, upload dtype "
-          f"{ds.dtype.name}" + (" (lossless PCM16 passthrough, 4x smaller "
-                                "host->device batches)"
-                                if ds.dtype == "int16" else ""))
+          f"{ds.sample_rate} Hz, crop {args.crop}, data {place}")
     cfg, task = _resolve_config(args.preset)
     if args.task is not None:
         task = args.task
@@ -222,6 +237,58 @@ def _cmd_sample(args) -> None:
                   sample_rate)
     print(f"wrote {args.num} samples ({args.steps}-step "
           f"{args.sampler}, {sample_rate} Hz) to {out}")
+
+
+def _cmd_serve(args) -> None:
+    """Serve a trained model over HTTP: concurrent POSTs microbatch into
+    fixed-size device batches (serve.py); results are quantized to PCM16
+    on device (4x smaller downloads) and returned as WAV bodies."""
+    import jax.numpy as jnp
+
+    from . import GenerationService
+    from .server import make_server
+
+    run_cfg = Path(args.model).parent / "config.json"
+    recorded = json.loads(run_cfg.read_text()) if run_cfg.exists() else {}
+    if args.preset is not None:
+        cfg, task = _resolve_config(args.preset)
+    elif recorded:
+        cfg = dict(recorded)
+        task = cfg.pop("_task", "unconditional")
+    else:
+        raise SystemExit(
+            f"no {run_cfg} next to the model dir — pass --preset "
+            "(the config used for training)")
+    sample_rate = (args.sample_rate or cfg.pop("_sample_rate", None)
+                   or recorded.get("_sample_rate") or 48000)
+    upsample_factor = (cfg.pop("_upsample_factor", None)
+                       or recorded.get("_upsample_factor"))
+    cfg.setdefault("_dtype", args.dtype)
+    model = _build_model(cfg, args.sampler, task, upsample_factor)
+    c = cfg.get("in_channels", 2)
+    model.initialize(jnp.zeros((1, c, args.length)))
+    model.load(args.model)
+
+    service = GenerationService(
+        model, num_steps=args.steps, batch_size=args.batch_size,
+        max_wait_ms=args.max_wait_ms, result_format="pcm16")
+    server = make_server(
+        service, sample_rate=sample_rate, default_length=args.length,
+        channels=c, task=task, model=model, host=args.host, port=args.port,
+        verbose=True)
+    host, port = server.server_address[:2]
+    print(f"serving {task} model ({args.steps}-step {args.sampler}, batch "
+          f"{args.batch_size}, {sample_rate} Hz) on http://{host}:{port}")
+    print("POST /generate {\"seed\": 1}  |  GET /stats  |  GET /healthz"
+          if task == "unconditional" else
+          "POST /transform (WAV body)  |  GET /stats  |  GET /healthz")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        service.close()
 
 
 def _cmd_info(args) -> None:
@@ -359,6 +426,12 @@ def main(argv=None) -> None:
     t.add_argument("--checkpoint-every", type=int, default=1000)
     t.add_argument("--log-every", type=int, default=50)
     t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--data-placement", choices=("auto", "host", "device"),
+                   default="auto",
+                   help="device: keep the corpus HBM-resident and crop "
+                        "batches on device (zero per-step uploads — the "
+                        "remote-TPU fast path); auto picks device for "
+                        "corpora <= 1 GiB")
     t.add_argument("--task", choices=("unconditional", "upsampler",
                                       "vocoder"), default=None,
                    help="model task (default: inferred from the preset "
@@ -411,6 +484,30 @@ def main(argv=None) -> None:
     e.add_argument("--sample-rate", type=int, default=None,
                    help="override the rate probed from the first ref")
     e.set_defaults(fn=_cmd_eval)
+
+    v = sub.add_parser(
+        "serve", help="serve a trained model over HTTP (microbatching: "
+        "concurrent requests share fixed-size device batches)")
+    v.add_argument("--model", required=True,
+                   help="model dir saved by `train` (…/model)")
+    v.add_argument("--preset", default=None,
+                   help="preset/JSON config; defaults to the config.json "
+                        "recorded next to the model dir")
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8000)
+    v.add_argument("--batch-size", type=int, default=8,
+                   help="device batch size (partial batches are padded)")
+    v.add_argument("--steps", type=int, default=50,
+                   help="default sampling steps (per-request num_steps "
+                        "overrides)")
+    v.add_argument("--max-wait-ms", type=float, default=100.0,
+                   help="how long to hold an incomplete batch open")
+    v.add_argument("--length", type=int, default=2**18,
+                   help="default generation length in frames")
+    v.add_argument("--sampler", choices=("v", "dpm"), default="v")
+    v.add_argument("--sample-rate", type=int, default=None)
+    v.add_argument("--dtype", choices=("bf16", "f32"), default="bf16")
+    v.set_defaults(fn=_cmd_serve)
 
     i = sub.add_parser("info", help="describe a training run (config, "
                        "geometry, checkpoints, optional param count)")

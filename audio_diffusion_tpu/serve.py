@@ -142,9 +142,14 @@ class GenerationService:
         self._model = model
         self._method = method
         self._result_format = result_format
-        self._to_pcm16 = jax.jit(
-            lambda x: jnp.clip(jnp.round(x.astype(jnp.float32) * 32767.0),
-                               -32768, 32767).astype(jnp.int16))
+        def to_pcm16(x):
+            # Bit-match the native WAV writer (wavio.cpp:142-144): clip to
+            # [-1, 1], scale by 32767, round half away from zero, truncate.
+            v = jnp.clip(x.astype(jnp.float32), -1.0, 1.0) * 32767.0
+            half = jnp.where(v >= 0, jnp.float32(0.5), jnp.float32(-0.5))
+            return jnp.trunc(v + half).astype(jnp.int16)
+
+        self._to_pcm16 = jax.jit(to_pcm16)
         self._num_steps = num_steps
         self._batch_size = batch_size
         self._max_wait = max_wait_ms / 1e3

@@ -159,3 +159,31 @@ def test_cli_info(tiny_setup, capsys):
 
     with pytest.raises(SystemExit, match="config.json"):
         main(["info", "--run", str(tmp / "nonexistent")])
+
+
+def test_cli_serve_builds_and_binds(tiny_setup, monkeypatch, capsys):
+    """`serve` resolves the run config, loads params, binds the HTTP
+    server, and tears down cleanly (serve_forever stubbed; the HTTP
+    surface itself is covered by test_server.py)."""
+    data, cfg, tmp = tiny_setup
+    run = tmp / "run_srv"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(run), "--steps", "1", "--batch", "2",
+          "--crop", "512", "--log-every", "1", "--checkpoint-every", "5"])
+
+    from audio_diffusion_tpu import server as server_mod
+
+    bound = {}
+
+    def fake_serve_forever(self):
+        bound["addr"] = self.server_address
+        bound["task"] = self.task
+
+    monkeypatch.setattr(server_mod.HttpGenerationServer, "serve_forever",
+                        fake_serve_forever)
+    main(["serve", "--model", str(run / "model"), "--port", "0",
+          "--steps", "2", "--batch-size", "2", "--length", "512"])
+    assert bound["addr"][1] > 0  # bound a real free port
+    assert bound["task"] == "unconditional"
+    out = capsys.readouterr().out
+    assert "serving unconditional model" in out and "8000" not in out
