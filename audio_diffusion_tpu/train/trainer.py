@@ -225,7 +225,16 @@ class Trainer:
                 if kk == 1 and k > 1:
                     batch = next(it)
                 elif k > 1:
-                    batch = np.stack([next(it) for _ in range(kk)])
+                    items = [next(it) for _ in range(kk)]
+                    if isinstance(items[0], jax.Array):
+                        # Device-resident batches (data.DeviceCorpus):
+                        # stack ON DEVICE — np.stack would download and
+                        # re-upload K batches per call.
+                        import jax.numpy as jnp
+
+                        batch = jnp.stack(items)
+                    else:
+                        batch = np.stack(items)
                 else:
                     batch = next(it)
 
