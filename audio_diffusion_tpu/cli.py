@@ -60,6 +60,29 @@ def _resolve_config(preset: str):
         "kwargs")
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (verified to work through remote
+    TPU backends, PERFORMANCE.md: 3-5× faster second-process compiles —
+    a resumed/preempted run skips the multi-minute recompile). Env
+    JAX_COMPILATION_CACHE_DIR wins when set."""
+    import os
+
+    if "JAX_COMPILATION_CACHE_DIR" in os.environ:
+        return
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        # CPU compiles are fast and the cached AOT objects carry exact
+        # machine-feature sets (noisy cross-feature load warnings);
+        # the cache pays off on remote TPU backends.
+        return
+    import jax
+
+    cache = Path(os.environ.get("XDG_CACHE_HOME",
+                                Path.home() / ".cache"))
+    cache = cache / "audio_diffusion_tpu" / "jax_cache"
+    cache.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+
+
 def _build_model(cfg: Dict, sampler: str, task: str = "unconditional",
                  upsample_factor: Optional[int] = None):
     import jax.numpy as jnp
@@ -86,6 +109,7 @@ def _build_model(cfg: Dict, sampler: str, task: str = "unconditional",
 
 
 def _cmd_train(args) -> None:
+    _enable_compile_cache()
     import jax.numpy as jnp
 
     from .data import AudioDataset, DeviceCorpus
@@ -155,6 +179,7 @@ def _cmd_train(args) -> None:
 
 
 def _cmd_sample(args) -> None:
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -243,6 +268,7 @@ def _cmd_serve(args) -> None:
     """Serve a trained model over HTTP: concurrent POSTs microbatch into
     fixed-size device batches (serve.py); results are quantized to PCM16
     on device (4x smaller downloads) and returned as WAV bodies."""
+    _enable_compile_cache()
     import jax.numpy as jnp
 
     from . import GenerationService

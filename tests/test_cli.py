@@ -181,9 +181,14 @@ def test_cli_serve_builds_and_binds(tiny_setup, monkeypatch, capsys):
 
     monkeypatch.setattr(server_mod.HttpGenerationServer, "serve_forever",
                         fake_serve_forever)
+    # BaseServer.shutdown() waits for serve_forever's loop to exit; with
+    # serve_forever stubbed the loop never ran, so stub shutdown too.
+    monkeypatch.setattr(server_mod.HttpGenerationServer, "shutdown",
+                        lambda self: self.server_close())
     main(["serve", "--model", str(run / "model"), "--port", "0",
           "--steps", "2", "--batch-size", "2", "--length", "512"])
     assert bound["addr"][1] > 0  # bound a real free port
     assert bound["task"] == "unconditional"
     out = capsys.readouterr().out
-    assert "serving unconditional model" in out and "8000" not in out
+    assert "serving unconditional model" in out
+    assert f":{bound['addr'][1]}" in out  # the real bound port is printed
