@@ -127,10 +127,11 @@ def _cmd_train(args) -> None:
     use_device = (args.data_placement == "device"
                   or (args.data_placement == "auto"
                       and corpus_bytes <= 1 << 30))
+    mesh = create_mesh()
     if use_device:
         ds = DeviceCorpus(args.data, crop_frames=args.crop,
                           batch_size=args.batch, seed=args.seed,
-                          max_bytes=max(corpus_bytes, 1 << 30))
+                          max_bytes=max(corpus_bytes, 1 << 30), mesh=mesh)
     place = (f"device-resident ({corpus_bytes/2**20:.0f} MB HBM, zero "
              "per-step uploads)" if use_device
              else f"host (upload dtype {ds.dtype.name}"
@@ -162,7 +163,7 @@ def _cmd_train(args) -> None:
         checkpoint_dir=str(out / "ckpts"),
         checkpoint_every=args.checkpoint_every, log_every=args.log_every,
         accum_steps=args.accum_steps,
-        steps_per_call=args.steps_per_call), mesh=create_mesh())
+        steps_per_call=args.steps_per_call), mesh=mesh)
     resumed = trainer.restore_latest()
     remaining = args.steps
     if resumed is not None:

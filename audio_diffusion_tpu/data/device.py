@@ -54,6 +54,14 @@ class DeviceCorpus:
     auto/int16/float32); ``max_bytes`` guards HBM: construction refuses a
     corpus whose device footprint would exceed it (default 2 GiB —
     training state needs the rest; use ``AudioDataset`` for bigger sets).
+
+    ``mesh`` (a ``('data', 'model')`` mesh from
+    :func:`~audio_diffusion_tpu.parallel.create_mesh`): the corpus and
+    index arrays replicate across all devices and every batch comes out
+    already sharded over ``'data'`` — each chip gathers its own batch
+    shard from its local replica, so multi-chip DP training never moves
+    batch bytes between devices. ``batch_size`` must be divisible by the
+    data-axis size.
     """
 
     def __init__(
@@ -67,6 +75,7 @@ class DeviceCorpus:
         num_hosts: Optional[int] = None,
         dtype: str = "auto",
         max_bytes: int = 2 << 30,
+        mesh=None,
     ):
         # Reuse AudioDataset's discovery/validation/probe pass: file list,
         # channel resolution, too-short/mismatch skips, PCM16 detection.
@@ -103,10 +112,36 @@ class DeviceCorpus:
         starts = np.cumsum([0] + self.frames[:-1]).astype(np.int32)
         max_off = (np.asarray(self.frames, np.int32) - crop_frames)
 
-        self._corpus = jax.device_put(flat)
-        self._starts = jax.device_put(starts)
-        self._max_off = jax.device_put(max_off)
+        # On a mesh, REPLICATE the corpus/index arrays over every device
+        # and emit batches sharded over 'data': each chip then gathers its
+        # own batch shard locally, with no cross-device batch scatter per
+        # step. Single-device (mesh=None): plain placement.
+        self._mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            self._corpus = jax.device_put(flat, rep)
+            self._starts = jax.device_put(starts, rep)
+            self._max_off = jax.device_put(max_off, rep)
+            # jit out_shardings needs exact divisibility (unlike the train
+            # step's internal GSPMD constraint, which pads): small batches
+            # on big meshes fall back to replicated output and let the
+            # train step lay the batch out.
+            if batch_size % mesh.shape["data"] == 0:
+                self._out_sharding = NamedSharding(mesh,
+                                                   P("data", None, None))
+            else:
+                self._out_sharding = rep
+        else:
+            self._corpus = jax.device_put(flat)
+            self._starts = jax.device_put(starts)
+            self._max_off = jax.device_put(max_off)
+            self._out_sharding = None
         self._base_key = jax.random.key(seed)
+        self._crop_jit = jax.jit(
+            partial(_crop_batch, batch=batch_size, crop=crop_frames),
+            out_shardings=self._out_sharding)
 
     @property
     def device_bytes(self) -> int:
@@ -117,9 +152,8 @@ class DeviceCorpus:
         int16 when the corpus is PCM16 — dequantized in-graph by the
         train step). Pure in `step`, so any iteration order or resume
         point reproduces the same data."""
-        return _crop_batch(self._corpus, self._starts, self._max_off,
-                           jax.random.fold_in(self._base_key, step),
-                           batch=self.batch_size, crop=self.crop_frames)
+        return self._crop_jit(self._corpus, self._starts, self._max_off,
+                              jax.random.fold_in(self._base_key, step))
 
     def __iter__(self) -> Iterator:
         step = 0
@@ -148,7 +182,6 @@ def _read_full_i16(path, channels: int, frames: int) -> np.ndarray:
     return out[0]
 
 
-@partial(jax.jit, static_argnames=("batch", "crop"))
 def _crop_batch(corpus, starts, max_off, key, *, batch: int, crop: int):
     """Jitted on-device batch assembly: per-element uniform (file, offset)
     then a dynamic-slice gather. Matches AudioDataset._make_batch's

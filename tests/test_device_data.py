@@ -139,3 +139,28 @@ def test_int16_dequant_equivalence(tmp_path):
     for el_i16, el_f in zip(batch, deq):
         pos = int(el_i16[0, 0]) % 1000
         np.testing.assert_array_equal(el_f, ref[:, pos:pos + 64])
+
+
+def test_mesh_sharded_batches(tmp_path):
+    """With a mesh, the corpus replicates and batches come out sharded
+    over 'data' — each chip gathers its shard locally."""
+    from audio_diffusion_tpu.parallel import create_mesh
+
+    d = _make_corpus(tmp_path, n_files=3, frames=400)
+    mesh = create_mesh()  # 8 virtual CPU devices -> data=8
+    dc = DeviceCorpus(d, crop_frames=64, batch_size=8, seed=1, mesh=mesh)
+    batch = dc.batch_at(0)
+    assert len(batch.sharding.device_set) == len(mesh.devices.ravel())
+    # Leading (batch) axis is partitioned over 'data'.
+    shard_shapes = {s.data.shape for s in batch.addressable_shards}
+    assert shard_shapes == {(1, 2, 64)}
+    # Content check: still genuine file windows.
+    host = np.asarray(batch)
+    for el in host:
+        v0 = int(el[0, 0])
+        fid, pos = divmod(v0, 1000)
+        np.testing.assert_array_equal(
+            el[0], (fid * 1000 + pos + np.arange(64)).astype(np.int16))
+    # Mesh and unsharded corpora draw identical data for a given seed.
+    dc0 = DeviceCorpus(d, crop_frames=64, batch_size=8, seed=1)
+    np.testing.assert_array_equal(host, np.asarray(dc0.batch_at(0)))
