@@ -309,6 +309,14 @@ def _cmd_serve(args) -> None:
     print("POST /generate {\"seed\": 1}  |  GET /stats  |  GET /healthz"
           if task == "unconditional" else
           "POST /transform (WAV body)  |  GET /stats  |  GET /healthz")
+    # Orchestrators stop containers with SIGTERM: drain in-flight batches
+    # instead of dying mid-request (KeyboardInterrupt covers ^C).
+    import signal
+
+    def _sigterm(_sig, _frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -211,23 +211,27 @@ class AudioDataset:
         if not files:
             raise ValueError("no .wav files found")
 
+        global_rate: Optional[int] = None
         if host_id is not None or num_hosts is not None:
             import jax
 
             host_id = host_id if host_id is not None else jax.process_index()
             num_hosts = (num_hosts if num_hosts is not None
                          else jax.process_count())
-            # Resolve the channel count from the GLOBAL first decodable
-            # file before sharding: per-shard inference could give hosts
-            # different channel counts (mixed mono/stereo sets) and thus
-            # mismatched batch shapes inside cross-host collectives.
-            if channels is None:
+            # Resolve channel count AND sample rate from the GLOBAL first
+            # decodable file before sharding: per-shard inference could
+            # give hosts different values (mixed mono/stereo or mixed-rate
+            # sets) and thus mismatched batch shapes / inconsistent
+            # rate-filtering across cross-host collectives.
+            if channels is None or global_rate is None:
                 for f in files:
                     try:
-                        channels = wav_probe(f)[0]
-                        break
+                        c0, sr0, _ = wav_probe(f)
                     except IOError:
                         continue  # undecodable; skipped below anyway
+                    channels = channels if channels is not None else c0
+                    global_rate = sr0
+                    break
             files = files[host_id::num_hosts] or files  # tiny sets: share
             seed = seed * max(num_hosts, 1) + host_id  # decorrelated crops
 
@@ -241,10 +245,11 @@ class AudioDataset:
         self.files: List[Path] = []
         self.frames: List[int] = []
         self.channels = channels
-        self.sample_rate: Optional[int] = None
+        self.sample_rate: Optional[int] = global_rate
         skipped = 0
         mismatched = 0
         too_short = 0
+        rate_mismatched = 0
         all_pcm16 = True
         for f in files:
             try:
@@ -258,6 +263,11 @@ class AudioDataset:
                 self.sample_rate = sr
             if c != self.channels:
                 mismatched += 1  # e.g. mono file in a stereo corpus
+            elif sr != self.sample_rate:
+                # Training reads raw frames: a 44.1k file in a 48k corpus
+                # would train pitch-shifted. Skip it loudly instead
+                # (resample offline, e.g. dsp.resample).
+                rate_mismatched += 1
             elif n < crop_frames:
                 too_short += 1
             else:
@@ -273,8 +283,9 @@ class AudioDataset:
             else np.float32)
         self.skipped_undecodable = skipped
         self.skipped_channel_mismatch = mismatched
+        self.skipped_rate_mismatch = rate_mismatched
         self.skipped_too_short = too_short
-        if skipped or mismatched or too_short:
+        if skipped or mismatched or too_short or rate_mismatched:
             import warnings
 
             reasons = []
@@ -286,6 +297,12 @@ class AudioDataset:
                                f"{self.channels} channels — a mixed "
                                "mono/stereo corpus trains on a subset; pass "
                                "channels= to pick which)")
+            if rate_mismatched:
+                reasons.append(
+                    f"{rate_mismatched} sample-rate-mismatched (expected "
+                    f"{self.sample_rate} Hz — training reads raw frames, "
+                    "so a mixed-rate corpus would train pitch-shifted; "
+                    "resample offline, e.g. dsp.resample)")
             if too_short:
                 reasons.append(f"{too_short} shorter than crop_frames="
                                f"{crop_frames}")

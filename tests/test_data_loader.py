@@ -304,3 +304,26 @@ def test_dataset_warns_on_short_files(tmp_path):
     with pytest.warns(UserWarning, match="shorter than crop_frames"):
         ds = AudioDataset(tmp_path, crop_frames=1024, batch_size=2)
     assert ds.skipped_too_short == 1 and len(ds.files) == 1
+
+
+def test_rate_mismatched_files_skipped_with_warning(tmp_path):
+    """A 44.1k file in a 48k corpus must not train pitch-shifted: it is
+    skipped loudly and counted."""
+    import wave
+
+    def write(path, sr):
+        data = np.zeros((500, 1), np.int16)
+        with wave.open(str(path), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(data.tobytes())
+
+    write(tmp_path / "a.wav", 48000)
+    write(tmp_path / "b.wav", 44100)
+    write(tmp_path / "c.wav", 48000)
+    with pytest.warns(UserWarning, match="sample-rate-mismatched"):
+        ds = AudioDataset(tmp_path, crop_frames=100, batch_size=1)
+    assert ds.sample_rate == 48000
+    assert len(ds.files) == 2
+    assert ds.skipped_rate_mismatch == 1
