@@ -160,6 +160,9 @@ def _cmd_train(args) -> None:
     (out / "config.json").write_text(json.dumps(recorded, indent=1))
     trainer = Trainer(model, TrainerConfig(
         learning_rate=args.lr, ema_decay=args.ema_decay,
+        lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
+        total_steps=args.steps if args.lr_schedule == "cosine" else None,
+        max_grad_norm=args.max_grad_norm,
         checkpoint_dir=str(out / "ckpts"),
         checkpoint_every=args.checkpoint_every, log_every=args.log_every,
         accum_steps=args.accum_steps,
@@ -452,6 +455,12 @@ def main(argv=None) -> None:
     t.add_argument("--batch", type=int, default=8)
     t.add_argument("--crop", type=int, default=2**18)
     t.add_argument("--lr", type=float, default=1e-4)
+    t.add_argument("--lr-schedule", choices=("constant", "cosine"),
+                   default="constant",
+                   help="cosine decays to 0 over --steps (with warmup)")
+    t.add_argument("--warmup-steps", type=int, default=0)
+    t.add_argument("--max-grad-norm", type=float, default=None,
+                   help="global-norm gradient clipping")
     t.add_argument("--ema-decay", type=float, default=None)
     t.add_argument("--accum-steps", type=int, default=1)
     t.add_argument("--steps-per-call", type=int, default=1,

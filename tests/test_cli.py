@@ -192,3 +192,15 @@ def test_cli_serve_builds_and_binds(tiny_setup, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "serving unconditional model" in out
     assert f":{bound['addr'][1]}" in out  # the real bound port is printed
+
+
+def test_cli_train_cosine_schedule(tiny_setup):
+    """--lr-schedule cosine + warmup + grad clipping drive end-to-end."""
+    data, cfg, tmp = tiny_setup
+    run = tmp / "run_cos"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(run), "--steps", "3", "--batch", "2",
+          "--crop", "512", "--log-every", "1", "--checkpoint-every", "9",
+          "--lr-schedule", "cosine", "--warmup-steps", "1",
+          "--max-grad-norm", "1.0"])
+    assert (run / "model").exists()
