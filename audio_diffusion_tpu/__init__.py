@@ -22,6 +22,7 @@ from .diffusion import (
 )
 from . import presets
 from .distill import ProgressiveDistiller
+from .longform import generate_long
 from .serve import GenerationService
 from .server import make_server, wav_bytes
 from .dsp import MelSpectrogram
@@ -45,6 +46,7 @@ __version__ = "0.1.0"
 __all__ = [
     "presets",
     "GenerationService",
+    "generate_long",
     "make_server",
     "wav_bytes",
     "QTensor",
