@@ -398,7 +398,8 @@ def _cmd_eval(args) -> None:
     import numpy as np
 
     from .data import wav_probe, wav_read
-    from .eval import band_distance, band_profile, pairwise_diversity
+    from .eval import (band_distance, band_profile, frechet_band_distance,
+                       pairwise_diversity)
 
     refs = sorted(Path(args.ref).glob("*.wav"))[:args.max_ref]
     if not refs:
@@ -431,11 +432,27 @@ def _cmd_eval(args) -> None:
               f"finite {bool(np.isfinite(x).all())}")
     div = (pairwise_diversity(np.stack(sample_audio), sr)
            if len(sample_audio) >= 2 else None)
+    # Set-level Fréchet distance in band-profile space: the heterogeneity-
+    # robust headline metric (per-file distance to the corpus MEAN profile
+    # misleads when real files are diverse — see eval.py). Baseline: a
+    # same-size set of white-noise clips at the corpus rms.
+    fbd = fbd_noise = None
+    if len(sample_audio) >= 2 and len(refs) >= 2:
+        fbd = frechet_band_distance(ref_audio, np.stack(sample_audio), sr)
+        noise_set = (rng.standard_normal((len(sample_audio),)
+                                         + ref_audio.shape[1:])
+                     .astype(np.float32) * float(ref_audio.std()))
+        fbd_noise = frechet_band_distance(ref_audio, noise_set, sr)
     summary = {"num_samples": len(samples), "sample_rate": sr,
                "crop": int(crop),
                "band_dist_mean": round(float(np.mean(dists)), 4),
                "band_dist_worst": round(float(np.max(dists)), 4),
                "noise_baseline": round(noise_base, 4),
+               "frechet_band_dist": (round(fbd, 4)
+                                     if fbd is not None else None),
+               "frechet_noise_baseline": (round(fbd_noise, 4)
+                                          if fbd_noise is not None
+                                          else None),
                "pairwise_diversity": (round(div, 4)
                                       if div is not None else None)}
     print(json.dumps(summary))

@@ -25,8 +25,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["band_profile", "band_distance", "pairwise_diversity",
-           "log_spectral_distance"]
+__all__ = ["band_profile", "band_distance", "frechet_band_distance",
+           "pairwise_diversity", "log_spectral_distance"]
 
 
 def band_profile(x, sample_rate: int, *, fmin: float = 20.0,
@@ -59,6 +59,49 @@ def band_distance(profile_a: np.ndarray, profile_b: np.ndarray) -> float:
     b = np.asarray(profile_b)
     assert a.shape == b.shape, (a.shape, b.shape)
     return float(np.sqrt(np.mean((a - b) ** 2)))
+
+
+def frechet_band_distance(ref_samples, gen_samples,
+                          sample_rate: int) -> float:
+    """Fréchet distance between two SETS of audio in band-profile space.
+
+    Fits a Gaussian (mean + covariance) to each set's per-item
+    third-octave profiles and returns the Fréchet/Wasserstein-2 distance
+    ``|mu_a - mu_b|^2 + tr(Ca + Cb - 2 (Ca Cb)^{1/2})`` — the FAD recipe
+    (Kilgour et al. 2019) with band profiles instead of VGGish
+    embeddings (no pretrained network exists in this environment).
+
+    This is the right metric for HETEROGENEOUS corpora, where per-file
+    distance to the corpus-mean profile misleads: the mean of diverse
+    spectra is broadband, so white noise scores deceptively well while
+    real corpus files score badly (measured on the 64-file flagship
+    corpus: noise 0.79, real files 1.25 — PERFORMANCE.md round 3). A
+    set-level Gaussian accounts for the spread: matching the corpus
+    *distribution* (not its mean) is what scores low.
+
+    Needs len(set) comparable to the number of bands for a stable
+    covariance; shrinkage (+1e-6 I) keeps small sets finite.
+    """
+    def stats(samples):
+        profs = np.stack([band_profile(s, sample_rate) for s in samples])
+        assert profs.shape[0] >= 2, "need >= 2 items per set"
+        mu = profs.mean(0)
+        cov = np.cov(profs, rowvar=False) + 1e-6 * np.eye(profs.shape[1])
+        return mu, cov
+
+    mu_a, ca = stats(np.asarray(ref_samples, np.float32))
+    mu_b, cb = stats(np.asarray(gen_samples, np.float32))
+    assert mu_a.shape == mu_b.shape, (mu_a.shape, mu_b.shape)
+    # (Ca Cb)^{1/2} via eigendecomposition of the symmetrized product:
+    # sqrtm(Ca) Cb sqrtm(Ca) is PSD with the same eigenvalues as Ca Cb.
+    wa, va = np.linalg.eigh(ca)
+    sqrt_ca = (va * np.sqrt(np.maximum(wa, 0))) @ va.T
+    inner = sqrt_ca @ cb @ sqrt_ca
+    wi = np.linalg.eigvalsh(inner)
+    tr_sqrt = np.sqrt(np.maximum(wi, 0)).sum()
+    d2 = float(((mu_a - mu_b) ** 2).sum() + np.trace(ca) + np.trace(cb)
+               - 2.0 * tr_sqrt)
+    return max(d2, 0.0)
 
 
 def pairwise_diversity(samples, sample_rate: int) -> float:

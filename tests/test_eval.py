@@ -99,3 +99,60 @@ def test_cli_eval_empty_dir(tmp_path):
     with pytest.raises(SystemExit, match="no .wav files"):
         main(["eval", "--ref", str(tmp_path / "ref"),
               "--samples", str(tmp_path / "gen")])
+
+
+# ---------------------------------------------------------------- Fréchet
+def _toneset(freqs, sr=8000, n=2048, amp=0.2, jitter=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    out = []
+    for f in freqs:
+        f = f * (1 + jitter * rng.standard_normal())
+        out.append((amp * np.sin(2 * np.pi * f * t)).astype(np.float32))
+    return np.stack(out)[:, None, :]  # [n_items, 1, frames]
+
+
+def test_frechet_band_distance_identity_and_ordering():
+    from audio_diffusion_tpu.eval import frechet_band_distance
+
+    freqs = [100, 200, 400, 800, 1600, 220, 330, 550]
+    a = _toneset(freqs, jitter=0.02, seed=1)
+    b = _toneset(freqs, jitter=0.02, seed=2)   # same distribution
+    rng = np.random.default_rng(0)
+    noise = (rng.standard_normal(a.shape) * float(a.std())).astype(
+        np.float32)
+
+    same = frechet_band_distance(a, a, 8000)
+    close = frechet_band_distance(a, b, 8000)
+    far = frechet_band_distance(a, noise, 8000)
+    assert same == pytest.approx(0.0, abs=1e-6)
+    assert close < far  # matched distributions beat white noise
+    assert far > 1.0
+
+
+def test_frechet_band_distance_heterogeneity_robust():
+    """The motivating case: a heterogeneous reference set. A sample set
+    drawn from the SAME mixture must beat white noise, even though noise
+    is closer to the MEAN profile than individual real items are."""
+    from audio_diffusion_tpu.eval import (band_distance, band_profile,
+                                          frechet_band_distance)
+
+    lows = _toneset([60, 70, 80, 90], seed=3, jitter=0.05)
+    highs = _toneset([2000, 2400, 2800, 3200], seed=4, jitter=0.05)
+    ref = np.concatenate([lows, highs])
+    gen = np.concatenate([_toneset([65, 85], seed=5, jitter=0.05),
+                          _toneset([2200, 3000], seed=6, jitter=0.05)])
+    rng = np.random.default_rng(1)
+    noise = (rng.standard_normal(gen.shape) * float(ref.std())).astype(
+        np.float32)
+
+    fbd_gen = frechet_band_distance(ref, gen, 8000)
+    fbd_noise = frechet_band_distance(ref, noise, 8000)
+    assert fbd_gen < fbd_noise
+
+    # Real items are FAR from the corpus-mean profile (the heterogeneity
+    # that defeats per-file metrics) yet the set-level FBD still ranks
+    # the matched mixture clearly better.
+    mean_prof = band_profile(ref, 8000)
+    d_real = band_distance(band_profile(lows[0], 8000), mean_prof)
+    assert d_real > 1.0
