@@ -252,6 +252,27 @@ def _cmd_sample(args) -> None:
               f"{sample_rate} Hz)")
         return
 
+    if args.total_length is not None and args.total_length > args.length:
+        # Long-form: chain RePaint-outpainted windows past the training
+        # crop (longform.generate_long). One key drives the whole batch,
+        # so outputs are deterministic in (--seed, --num) together.
+        from .longform import generate_long
+
+        overlap = args.overlap or max(1, args.length // 4)
+        audio = np.asarray(generate_long(
+            model, length=args.total_length, window=args.length,
+            overlap=overlap, num_steps=args.steps,
+            num_resamples=args.resamples,
+            key=jax.random.key(args.seed), batch_size=args.num))
+        for i in range(args.num):
+            wav_write(out / f"long_{args.seed}_{i}.wav", audio[i],
+                      sample_rate)
+        print(f"wrote {args.num} long-form samples ({args.total_length} "
+              f"frames = {args.total_length / sample_rate:.1f} s, "
+              f"window {args.length}, overlap {overlap}, {args.steps}-step) "
+              f"to {out}")
+        return
+
     # One batched device program for all requested samples (batch-8
     # sampling measures ~1.4x batch-1 samples/min, PERFORMANCE.md); each
     # sample still derives from its own seed, so outputs are per-seed
@@ -527,6 +548,17 @@ def main(argv=None) -> None:
     s.add_argument("--dtype", choices=("bf16", "f32"), default="bf16",
                    help="compute dtype; the recorded training config wins "
                         "when present")
+    s.add_argument("--total-length", type=int, default=None,
+                   help="generate audio LONGER than --length by chaining "
+                        "RePaint-outpainted windows (longform.generate_long); "
+                        "--length stays the per-window size the model was "
+                        "trained at")
+    s.add_argument("--overlap", type=int, default=None,
+                   help="window overlap for --total-length "
+                        "(default --length//4)")
+    s.add_argument("--resamples", type=int, default=2,
+                   help="RePaint harmonization resamples per step for "
+                        "--total-length windows")
     s.set_defaults(fn=_cmd_sample)
 
     e = sub.add_parser(

@@ -204,3 +204,24 @@ def test_cli_train_cosine_schedule(tiny_setup):
           "--lr-schedule", "cosine", "--warmup-steps", "1",
           "--max-grad-norm", "1.0"])
     assert (run / "model").exists()
+
+
+def test_cli_sample_total_length_longform(tiny_setup):
+    """--total-length chains outpainted windows: output exceeds the crop."""
+    data, cfg, tmp = tiny_setup
+    run = tmp / "run_long"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(run), "--steps", "2", "--batch", "2",
+          "--crop", "512", "--log-every", "2", "--checkpoint-every", "2"])
+
+    out = tmp / "long_samples"
+    main(["sample", "--model", str(run / "model"), "--out", str(out),
+          "--num", "2", "--steps", "2", "--length", "512",
+          "--total-length", "1200", "--overlap", "128",
+          "--resamples", "1"])
+    wavs = sorted(out.glob("long_*.wav"))
+    assert len(wavs) == 2
+    from audio_diffusion_tpu.data import wav_probe
+
+    c, sr, n = wav_probe(wavs[0])
+    assert (c, sr, n) == (1, 8000, 1200)
