@@ -108,26 +108,21 @@ def _build_model(cfg: Dict, sampler: str, task: str = "unconditional",
     return DiffusionModel(net_t=UNetV0, sampler_t=sampler_t, **cfg)
 
 
-def _cmd_train(args) -> None:
-    _enable_compile_cache()
-    import jax.numpy as jnp
-
+def _load_dataset(args, mesh):
+    """Dataset with --data-placement semantics shared by train/distill:
+    "device" keeps the whole corpus HBM-resident and crops batches on
+    device — zero per-step uploads, which on remote/tunnel TPUs is both
+    the throughput bound AND a host-memory leak in the tunnel client
+    (see data/device.py). "auto" picks device when the corpus fits
+    comfortably (<= 1 GiB)."""
     from .data import AudioDataset, DeviceCorpus
-    from .parallel import create_mesh
-    from .train import Trainer, TrainerConfig
 
     ds = AudioDataset(args.data, crop_frames=args.crop,
                       batch_size=args.batch, seed=args.seed)
-    # Data placement: "device" keeps the whole corpus HBM-resident and
-    # crops batches on device — zero per-step uploads, which on
-    # remote/tunnel TPUs is both the throughput bound AND a host-memory
-    # leak in the tunnel client (see data/device.py). "auto" picks device
-    # when the corpus fits comfortably (<= 1 GiB).
     corpus_bytes = sum(ds.frames) * ds.channels * ds.dtype.itemsize
     use_device = (args.data_placement == "device"
                   or (args.data_placement == "auto"
                       and corpus_bytes <= 1 << 30))
-    mesh = create_mesh()
     if use_device:
         ds = DeviceCorpus(args.data, crop_frames=args.crop,
                           batch_size=args.batch, seed=args.seed,
@@ -139,6 +134,18 @@ def _cmd_train(args) -> None:
                 if ds.dtype.name == "int16" else ")"))
     print(f"dataset: {len(ds.files)} files, {ds.channels} ch @ "
           f"{ds.sample_rate} Hz, crop {args.crop}, data {place}")
+    return ds
+
+
+def _cmd_train(args) -> None:
+    _enable_compile_cache()
+    import jax.numpy as jnp
+
+    from .parallel import create_mesh
+    from .train import Trainer, TrainerConfig
+
+    mesh = create_mesh()
+    ds = _load_dataset(args, mesh)
     cfg, task = _resolve_config(args.preset)
     if args.task is not None:
         task = args.task
@@ -180,6 +187,72 @@ def _cmd_train(args) -> None:
         model.params = trainer.ema_params
     model.save(out / "model")
     print(f"saved model params to {out / 'model'}")
+
+
+def _cmd_distill(args) -> None:
+    """Progressive distillation (Salimans & Ho 2022, distill.py) of a
+    trained run: halve the sampling step count stage by stage so serving
+    runs at --target-steps with near-teacher quality. The distilled
+    params drop into the ordinary `sample`/`serve` commands::
+
+        python -m audio_diffusion_tpu distill --model run/model \\
+            --data wavs/ --base-steps 64 --target-steps 8
+        python -m audio_diffusion_tpu sample \\
+            --model run/model_distilled8 --steps 8 --out fast/
+    """
+    _enable_compile_cache()
+    import jax.numpy as jnp
+
+    from . import ProgressiveDistiller
+    from .parallel import create_mesh
+
+    run_cfg = Path(args.model).parent / "config.json"
+    recorded = json.loads(run_cfg.read_text()) if run_cfg.exists() else {}
+    if args.preset is not None:
+        cfg, task = _resolve_config(args.preset)
+    elif recorded:
+        cfg = dict(recorded)
+        task = cfg.pop("_task", "unconditional")
+    else:
+        raise SystemExit(
+            f"no {run_cfg} next to the model dir — pass --preset "
+            "(the config used for training)")
+    if task != "unconditional":
+        raise SystemExit(
+            f"distill drives unconditional models; a {task} model's "
+            "conditioning channels need the Python API "
+            "(ProgressiveDistiller.stage(**cond))")
+    # The halving ladder must land exactly on the target.
+    stages, n = 0, args.base_steps
+    while n > args.target_steps and n % 2 == 0:
+        n //= 2
+        stages += 1
+    if n != args.target_steps or stages == 0:
+        raise SystemExit(
+            f"--target-steps {args.target_steps} is not reachable from "
+            f"--base-steps {args.base_steps} by halving")
+    cfg.pop("_sample_rate", None)
+    cfg.pop("_upsample_factor", None)
+    cfg.setdefault("_dtype", args.dtype)
+    model = _build_model(cfg, "v", task)
+    c = cfg.get("in_channels", 2)
+    model.initialize(jnp.zeros((1, c, args.crop)))
+    model.load(args.model)
+
+    mesh = create_mesh()
+    ds = _load_dataset(args, mesh)
+    distiller = ProgressiveDistiller(model, base_steps=args.base_steps,
+                                     learning_rate=args.lr, mesh=mesh)
+    batches = iter(ds)
+    for _ in range(stages):
+        distiller.stage(batches, num_train_steps=args.stage_steps,
+                        log_every=args.log_every)
+        print(f"stage done: model now samples at {distiller.steps} steps")
+    out = Path(args.out) if args.out else (
+        Path(args.model).parent / f"model_distilled{args.target_steps}")
+    model.save(out)
+    print(f"saved distilled params to {out} — sample with "
+          f"--model {out} --steps {args.target_steps}")
 
 
 def _cmd_sample(args) -> None:
@@ -386,9 +459,11 @@ def _cmd_info(args) -> None:
         steps = sorted(int(p.name) for p in ckpts.iterdir()
                        if p.name.isdigit())
         print(f"checkpoints: {steps if steps else 'none'}")
-    for name in ("model", "model_distilled8"):
-        if (run / name).exists():
-            print(f"exported params: {run / name}")
+    exported = [p for p in ([run / "model"]
+                            + sorted(run.glob("model_distilled*")))
+                if p.exists()]
+    for p in exported:
+        print(f"exported params: {p}")
     if args.params:
         # Param count needs the real tree: initialize at a short length
         # (conv nets: the count is length-independent).
@@ -560,6 +635,35 @@ def main(argv=None) -> None:
                    help="RePaint harmonization resamples per step for "
                         "--total-length windows")
     s.set_defaults(fn=_cmd_sample)
+
+    d = sub.add_parser(
+        "distill", help="progressively distill a trained model to fewer "
+        "sampling steps (64 -> 8: ~8x lower serving latency)")
+    d.add_argument("--model", required=True,
+                   help="model dir saved by `train` (…/model)")
+    d.add_argument("--data", required=True,
+                   help="directory of .wav files (the training corpus)")
+    d.add_argument("--preset", default=None,
+                   help="preset/JSON config; defaults to the config.json "
+                        "recorded next to the model dir")
+    d.add_argument("--base-steps", type=int, default=64,
+                   help="step count the teacher is considered to run at")
+    d.add_argument("--target-steps", type=int, default=8,
+                   help="distilled step count (base halved stage by stage)")
+    d.add_argument("--stage-steps", type=int, default=2000,
+                   help="training steps per halving stage")
+    d.add_argument("--lr", type=float, default=2e-5)
+    d.add_argument("--batch", type=int, default=4)
+    d.add_argument("--crop", type=int, default=2**18)
+    d.add_argument("--seed", type=int, default=0)
+    d.add_argument("--log-every", type=int, default=200)
+    d.add_argument("--data-placement", choices=("auto", "host", "device"),
+                   default="auto")
+    d.add_argument("--dtype", choices=("bf16", "f32"), default="bf16")
+    d.add_argument("--out", default=None,
+                   help="output params dir (default: "
+                        "<run>/model_distilled<target>)")
+    d.set_defaults(fn=_cmd_distill)
 
     e = sub.add_parser(
         "eval", help="score generated WAVs against a reference corpus "

@@ -225,3 +225,36 @@ def test_cli_sample_total_length_longform(tiny_setup):
 
     c, sr, n = wav_probe(wavs[0])
     assert (c, sr, n) == (1, 8000, 1200)
+
+
+def test_cli_distill_then_sample(tiny_setup, capsys):
+    """distill halves 4->2, saves next to the run, and `sample`/`info`
+    pick the distilled params up without extra flags."""
+    data, cfg, tmp = tiny_setup
+    run = tmp / "run_distill"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(run), "--steps", "2", "--batch", "2",
+          "--crop", "512", "--log-every", "2", "--checkpoint-every", "9"])
+
+    main(["distill", "--model", str(run / "model"), "--data", str(data),
+          "--base-steps", "4", "--target-steps", "2",
+          "--stage-steps", "2", "--batch", "2", "--crop", "512",
+          "--log-every", "1"])
+    distilled = run / "model_distilled2"
+    assert distilled.exists()
+
+    out = tmp / "fast_samples"
+    main(["sample", "--model", str(distilled), "--out", str(out),
+          "--num", "1", "--steps", "2", "--length", "512"])
+    assert len(list(out.glob("*.wav"))) == 1
+
+    main(["info", "--run", str(run)])
+    assert "model_distilled2" in capsys.readouterr().out
+
+
+def test_cli_distill_guards(tiny_setup):
+    data, cfg, tmp = tiny_setup
+    with pytest.raises(SystemExit, match="not reachable"):
+        main(["distill", "--model", str(tmp / "nope"), "--data", str(data),
+              "--preset", str(cfg),
+              "--base-steps", "6", "--target-steps", "4"])
