@@ -22,6 +22,7 @@ from .diffusion import (
 )
 from . import presets
 from .distill import ProgressiveDistiller
+from .export import export_sampler, load_sampler
 from .longform import generate_long
 from .serve import GenerationService
 from .server import make_server, wav_bytes
@@ -53,6 +54,8 @@ __all__ = [
     "quantize_params",
     "dequantize_params",
     "ProgressiveDistiller",
+    "export_sampler",
+    "load_sampler",
     # reference public API (reference __init__.py:1-20)
     "LTPlugin",
     "MelSpectrogram",

@@ -1,0 +1,124 @@
+"""AOT sampler export: a deployable serving artifact (jax.export).
+
+The reference's deployment story ends at ``model.sample`` inside the
+training codebase (reference README.md:37-44): a serving host must import
+the model-definition Python, rebuild the net, and re-trace it. This module
+serializes the **traced sampling program itself** (StableHLO via
+``jax.export``) next to a JSON manifest, so a serving host runs it with
+
+    sampler, manifest = load_sampler("artifact/")
+    audio = sampler(params, noise)          # params: the orbax tree
+
+without the net/config code — the params tree (``model.save`` output) and
+the artifact are the full deployment payload. TPU-first consequences:
+
+- Static shapes: the artifact fixes (batch, channels, length) and the
+  step count at export time — exactly the constraint XLA compilation has
+  anyway; export one artifact per serving shape, like one compiled
+  program per shape today.
+- Platform-checked: an artifact exported under TPU refuses to run on CPU
+  (and vice versa) instead of silently recompiling something else.
+- Version-checked: ``jax.export`` embeds calling-convention versions;
+  loading an incompatible artifact fails loudly at deserialize time.
+
+Scalar conditioning (e.g. CFG ``embedding_scale``) is baked in at export
+time; array conditioning (text embeddings, channels) needs the Python API.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+__all__ = ["export_sampler", "load_sampler"]
+
+_BLOB_NAME = "sampler.stablehlo"
+_MANIFEST_NAME = "manifest.json"
+
+
+def export_sampler(
+    model,
+    path,
+    *,
+    length: int,
+    batch_size: int = 1,
+    num_steps: int = 50,
+    channels: Optional[int] = None,
+    unroll: int = 5,
+    params: Optional[Dict] = None,
+    sample_rate: Optional[int] = None,
+    **cond,
+) -> Dict:
+    """Serialize the model's sampling program for ``(batch_size, channels,
+    length)`` float32 noise at ``num_steps`` steps to ``path/`` (the
+    StableHLO blob + a manifest). Returns the manifest dict.
+
+    ``params=`` overrides the live parameters only for SHAPE/DTYPE
+    derivation — parameters are an *argument* of the artifact, not baked
+    into it, so one artifact serves every checkpoint of the same config.
+    ``**cond`` scalars (ints/floats/bools, e.g. ``embedding_scale=5.0``)
+    are closed over; arrays are rejected (export one program per scalar
+    config, pass array conditioning through the Python API).
+    """
+    p = params if params is not None else model.params
+    assert p is not None, (
+        "initialize/load the model before exporting its sampler")
+    for k, v in cond.items():
+        if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0:
+            raise ValueError(
+                f"cond {k!r} is an array: only scalar conditioning can be "
+                "baked into an exported sampler (array conditioning needs "
+                "the Python API)")
+    c = channels if channels is not None else getattr(
+        model.net, "in_channels", None)
+    assert c is not None, "pass channels= (net does not declare in_channels)"
+
+    def fn(params_, noise_):
+        return model.sample_fn(params_, noise_, num_steps=num_steps,
+                               unroll=min(unroll, num_steps), **cond)
+
+    params_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), p)
+    noise_spec = jax.ShapeDtypeStruct((batch_size, c, length), jnp.float32)
+    exported = jexport.export(jax.jit(fn))(params_spec, noise_spec)
+    blob = exported.serialize()
+
+    manifest = {
+        "kind": "audio_diffusion_tpu.sampler",
+        "noise_shape": [batch_size, c, length],
+        "num_steps": num_steps,
+        "platforms": list(exported.platforms),
+        "sample_rate": sample_rate,
+        "scalar_cond": {k: v for k, v in cond.items()},
+        "jax_version": jax.__version__,
+        "out_shape": list(exported.out_avals[0].shape),
+        "out_dtype": str(exported.out_avals[0].dtype),
+    }
+    out = Path(path)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / _BLOB_NAME).write_bytes(blob)
+    (out / _MANIFEST_NAME).write_text(json.dumps(manifest, indent=1))
+    return manifest
+
+
+def load_sampler(path) -> Tuple[Callable, Dict]:
+    """Load an exported sampler: returns ``(sampler, manifest)`` where
+    ``sampler(params, noise)`` runs the deserialized program under jit.
+    The params tree must match the exporting config's structure (the
+    ``model.save``/orbax tree); noise must match the manifest's shape."""
+    src = Path(path)
+    blob = (src / _BLOB_NAME).read_bytes()
+    manifest = json.loads((src / _MANIFEST_NAME).read_text())
+    if manifest.get("kind") != "audio_diffusion_tpu.sampler":
+        raise ValueError(f"{src} is not an exported sampler artifact")
+    exported = jexport.deserialize(blob)
+    call = jax.jit(exported.call)
+
+    def sampler(params, noise):
+        return call(params, noise)
+
+    return sampler, manifest

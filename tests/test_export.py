@@ -1,0 +1,70 @@
+"""AOT sampler export: serialize the sampling program, reload it without
+the model-definition code, get bit-identical audio."""
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_diffusion_tpu import DiffusionModel, UNetV0
+from audio_diffusion_tpu.export import export_sampler, load_sampler
+
+
+def _tiny_model():
+    model = DiffusionModel(net_t=UNetV0, in_channels=1, channels=[8, 16],
+                           factors=[1, 2], items=[1, 1],
+                           modulation_features=32)
+    model.initialize(jnp.zeros((1, 1, 256)))
+    return model
+
+
+def test_export_roundtrip_bit_exact(tmp_path):
+    model = _tiny_model()
+    manifest = export_sampler(model, tmp_path / "art", length=256,
+                              batch_size=2, num_steps=3, sample_rate=8000)
+    assert manifest["noise_shape"] == [2, 1, 256]
+    assert manifest["num_steps"] == 3
+    assert (tmp_path / "art" / "sampler.stablehlo").exists()
+    # The on-disk manifest matches the returned one.
+    disk = json.loads((tmp_path / "art" / "manifest.json").read_text())
+    assert disk == json.loads(json.dumps(manifest))
+
+    sampler, loaded = load_sampler(tmp_path / "art")
+    assert loaded["sample_rate"] == 8000
+    noise = jax.random.normal(jax.random.key(0), (2, 1, 256), jnp.float32)
+    want = np.asarray(model.sample(noise, num_steps=3, unroll=3))
+    got = np.asarray(sampler(model.params, noise))
+    assert got.shape == tuple(manifest["out_shape"])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_export_serves_any_checkpoint_of_the_config(tmp_path):
+    """Params are an argument, not baked in: the same artifact runs a
+    different params tree of the same structure and the outputs differ."""
+    model = _tiny_model()
+    export_sampler(model, tmp_path / "art", length=256, num_steps=2)
+    sampler, _ = load_sampler(tmp_path / "art")
+    noise = jax.random.normal(jax.random.key(1), (1, 1, 256), jnp.float32)
+    a = np.asarray(sampler(model.params, noise))
+    other = jax.tree.map(lambda x: x + 0.01 * jnp.ones_like(x),
+                         model.params)
+    b = np.asarray(sampler(other, noise))
+    assert a.shape == b.shape and not np.array_equal(a, b)
+
+
+def test_export_guards(tmp_path):
+    model = DiffusionModel(net_t=UNetV0, in_channels=1, channels=[8, 16],
+                           factors=[1, 2], items=[1, 1],
+                           modulation_features=32)
+    with pytest.raises(AssertionError, match="initialize"):
+        export_sampler(model, tmp_path / "a", length=256)
+    model.initialize(jnp.zeros((1, 1, 256)))
+    with pytest.raises(ValueError, match="array"):
+        export_sampler(model, tmp_path / "a", length=256,
+                       embedding=jnp.zeros((1, 4, 8)))
+    (tmp_path / "junk").mkdir()
+    (tmp_path / "junk" / "manifest.json").write_text("{}")
+    (tmp_path / "junk" / "sampler.stablehlo").write_bytes(b"")
+    with pytest.raises(ValueError, match="not an exported sampler"):
+        load_sampler(tmp_path / "junk")
