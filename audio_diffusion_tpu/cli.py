@@ -423,6 +423,46 @@ def _cmd_serve(args) -> None:
         service.close()
 
 
+def _cmd_export(args) -> None:
+    """AOT-export a trained run's sampling program (export.py): the
+    artifact + the params dir are the full deployment payload — serving
+    hosts run it without this package's model-definition code."""
+    _enable_compile_cache()
+    import jax.numpy as jnp
+
+    from .export import export_sampler
+
+    run_cfg = Path(args.model).parent / "config.json"
+    recorded = json.loads(run_cfg.read_text()) if run_cfg.exists() else {}
+    if args.preset is not None:
+        cfg, task = _resolve_config(args.preset)
+    elif recorded:
+        cfg = dict(recorded)
+        task = cfg.pop("_task", "unconditional")
+    else:
+        raise SystemExit(
+            f"no {run_cfg} next to the model dir — pass --preset "
+            "(the config used for training)")
+    sample_rate = (args.sample_rate or cfg.pop("_sample_rate", None)
+                   or recorded.get("_sample_rate") or 48000)
+    if task != "unconditional":
+        raise SystemExit(
+            f"export drives unconditional models; a {task} model's array "
+            "conditioning needs the Python API (export_sampler(**cond))")
+    cfg.pop("_upsample_factor", None)
+    cfg.setdefault("_dtype", args.dtype)
+    model = _build_model(cfg, args.sampler, task)
+    c = cfg.get("in_channels", 2)
+    model.initialize(jnp.zeros((1, c, args.length)))
+    model.load(args.model)
+    manifest = export_sampler(
+        model, args.out, length=args.length, batch_size=args.batch_size,
+        num_steps=args.steps, sample_rate=sample_rate)
+    print(f"exported {manifest['noise_shape']} x {args.steps}-step "
+          f"{args.sampler} sampler for platforms "
+          f"{manifest['platforms']} to {args.out}")
+
+
 def _cmd_info(args) -> None:
     """Describe a training run: recorded config, geometry, param count,
     available checkpoints — without touching an accelerator."""
@@ -705,6 +745,23 @@ def main(argv=None) -> None:
     v.add_argument("--sample-rate", type=int, default=None)
     v.add_argument("--dtype", choices=("bf16", "f32"), default="bf16")
     v.set_defaults(fn=_cmd_serve)
+
+    x = sub.add_parser(
+        "export", help="AOT-export the sampling program (StableHLO + "
+        "manifest): deploy without the model-definition code")
+    x.add_argument("--model", required=True,
+                   help="model dir saved by `train` (…/model)")
+    x.add_argument("--out", required=True, help="artifact directory")
+    x.add_argument("--preset", default=None,
+                   help="preset/JSON config; defaults to the config.json "
+                        "recorded next to the model dir")
+    x.add_argument("--length", type=int, default=2**18)
+    x.add_argument("--batch-size", type=int, default=1)
+    x.add_argument("--steps", type=int, default=50)
+    x.add_argument("--sampler", choices=("v", "dpm"), default="v")
+    x.add_argument("--sample-rate", type=int, default=None)
+    x.add_argument("--dtype", choices=("bf16", "f32"), default="bf16")
+    x.set_defaults(fn=_cmd_export)
 
     i = sub.add_parser("info", help="describe a training run (config, "
                        "geometry, checkpoints, optional param count)")

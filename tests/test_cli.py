@@ -258,3 +258,42 @@ def test_cli_distill_guards(tiny_setup):
         main(["distill", "--model", str(tmp / "nope"), "--data", str(data),
               "--preset", str(cfg),
               "--base-steps", "6", "--target-steps", "4"])
+
+
+def test_cli_export_artifact(tiny_setup, capsys):
+    """export writes a loadable AOT artifact that reproduces the trained
+    model's sampling bit-exactly."""
+    import jax
+    import numpy as np
+
+    data, cfg, tmp = tiny_setup
+    run = tmp / "run_export"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(run), "--steps", "2", "--batch", "2",
+          "--crop", "512", "--log-every", "2", "--checkpoint-every", "9"])
+    art = tmp / "artifact"
+    main(["export", "--model", str(run / "model"), "--out", str(art),
+          "--length", "512", "--steps", "2"])
+    assert "exported" in capsys.readouterr().out
+
+    from audio_diffusion_tpu.export import load_sampler
+
+    sampler, manifest = load_sampler(art)
+    assert manifest["sample_rate"] == 8000  # recorded training rate
+    assert manifest["noise_shape"] == [1, 1, 512]
+
+    # Rebuild the model the way `sample` would, and A/B the artifact.
+    from audio_diffusion_tpu.cli import _build_model
+
+    import json as _json
+    recorded = _json.loads((run / "config.json").read_text())
+    recorded.pop("_task"), recorded.pop("_sample_rate")
+    model = _build_model(recorded, "v", "unconditional")
+    import jax.numpy as jnp
+
+    model.initialize(jnp.zeros((1, 1, 512)))
+    model.load(run / "model")
+    noise = jax.random.normal(jax.random.key(0), (1, 1, 512), jnp.float32)
+    want = np.asarray(model.sample(noise, num_steps=2, unroll=2))
+    got = np.asarray(sampler(model.params, noise))
+    np.testing.assert_array_equal(got, want)
