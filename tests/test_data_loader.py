@@ -327,3 +327,99 @@ def test_rate_mismatched_files_skipped_with_warning(tmp_path):
     assert ds.sample_rate == 48000
     assert len(ds.files) == 2
     assert ds.skipped_rate_mismatch == 1
+
+
+# ---------------------------------------------------------------- malformed
+# Adversarial WAV structure: the native decoder (data/wavio.cpp) must fail
+# loudly (never overrun) on lying headers, and accept unusual-but-legal
+# chunk layouts.
+
+def _wav_header(channels=1, sr=8000, bits=16, data_bytes=0, fmt=1):
+    import struct
+    return (b"RIFF" + struct.pack("<I", 36 + data_bytes) + b"WAVEfmt " +
+            struct.pack("<IHHIIHH", 16, fmt, channels, sr,
+                        sr * channels * bits // 8,
+                        channels * bits // 8, bits) +
+            b"data" + struct.pack("<I", data_bytes))
+
+
+def test_truncated_data_chunk_fails_loudly(tmp_path):
+    """data-chunk size claims 1000 frames; only 10 exist on disk. probe
+    believes the header (it cannot know better); read fails with an error
+    instead of returning garbage."""
+    from audio_diffusion_tpu.data import wav_probe, wav_read
+
+    p = tmp_path / "lying.wav"
+    p.write_bytes(_wav_header(data_bytes=2000) + b"\x00" * 20)
+    assert wav_probe(p)[2] == 1000
+    with pytest.raises(IOError):
+        wav_read(p)  # full-range read crosses the real EOF
+
+
+def test_data_chunk_before_fmt_chunk(tmp_path):
+    """Chunk order is not mandated by RIFF: data-before-fmt must decode."""
+    import struct
+
+    from audio_diffusion_tpu.data import wav_read
+
+    payload = (np.arange(8, dtype=np.int16) * 100).tobytes()
+    fmt = (b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                 16000, 2, 16))
+    body = (b"data" + struct.pack("<I", len(payload)) + payload + fmt)
+    p = tmp_path / "reordered.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE"
+                  + body)
+    out = wav_read(p)
+    np.testing.assert_allclose(
+        out[0], np.arange(8, dtype=np.float32) * 100 / 32768.0)
+
+
+def test_junk_chunks_are_skipped(tmp_path):
+    """LIST/INFO metadata chunks between fmt and data are walked over."""
+    import struct
+
+    from audio_diffusion_tpu.data import wav_probe, wav_read
+
+    payload = (np.arange(6, dtype=np.int16) * 333).tobytes()
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd+pad
+    fmt = (b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                 16000, 2, 16))
+    body = fmt + junk + b"data" + struct.pack("<I", len(payload)) + payload
+    p = tmp_path / "meta.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE"
+                  + body)
+    assert wav_probe(p) == (1, 8000, 6)
+    np.testing.assert_allclose(
+        wav_read(p)[0], np.arange(6, dtype=np.float32) * 333 / 32768.0)
+
+
+def test_zero_channel_header_rejected(tmp_path):
+    from audio_diffusion_tpu.data import wav_probe
+
+    p = tmp_path / "zero.wav"
+    p.write_bytes(_wav_header(channels=0, data_bytes=4) + b"\x00" * 4)
+    with pytest.raises(IOError):
+        wav_probe(p)
+
+
+def test_dataset_surfaces_lying_file_at_read_time(tmp_path):
+    """A corpus containing one truncated file constructs fine (the probe
+    believes the header) but the reader surfaces the IOError when that
+    file's crop is drawn — never silent garbage."""
+    from audio_diffusion_tpu.data import AudioDataset, wav_write
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        wav_write(corpus / f"good{i}.wav",
+                  rng.standard_normal((1, 512)).astype(np.float32) * 0.1,
+                  8000)
+    (corpus / "lying.wav").write_bytes(
+        _wav_header(data_bytes=2**16) + b"\x00" * 64)
+    ds = AudioDataset(corpus, crop_frames=64, batch_size=2, seed=0)
+    assert any(f.name == "lying.wav" for f in ds.files)  # probe passed
+    it = iter(ds)
+    with pytest.raises(IOError):
+        for _ in range(64):  # some batch will draw the lying file
+            next(it)
