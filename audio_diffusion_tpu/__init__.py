@@ -22,7 +22,8 @@ from .diffusion import (
 )
 from . import presets
 from .distill import ProgressiveDistiller
-from .export import export_sampler, load_sampler
+from .export import (ArtifactSampler, export_sampler, load_params,
+                     load_sampler)
 from .longform import generate_long
 from .serve import GenerationService
 from .server import make_server, wav_bytes
@@ -56,6 +57,8 @@ __all__ = [
     "ProgressiveDistiller",
     "export_sampler",
     "load_sampler",
+    "load_params",
+    "ArtifactSampler",
     # reference public API (reference __init__.py:1-20)
     "LTPlugin",
     "MelSpectrogram",

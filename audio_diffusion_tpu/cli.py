@@ -372,6 +372,29 @@ def _cmd_serve(args) -> None:
     from . import GenerationService
     from .server import make_server
 
+    if args.artifact is not None:
+        # Model-code-free deployment: the AOT artifact + the params dir
+        # are the whole payload (export.py). Shapes/steps are the
+        # artifact's; a mismatched request fails loudly.
+        from .export import ArtifactSampler, load_params
+
+        model = ArtifactSampler(args.artifact, load_params(args.model))
+        service = GenerationService(
+            model, num_steps=model.num_steps, batch_size=model.batch_size,
+            max_wait_ms=args.max_wait_ms, result_format="pcm16")
+        server = make_server(
+            service,
+            sample_rate=(args.sample_rate or model.sample_rate or 48000),
+            default_length=model.length, channels=model.in_channels,
+            task="unconditional", model=model, host=args.host,
+            port=args.port, verbose=True)
+        host, port = server.server_address[:2]
+        print(f"serving AOT artifact {args.artifact} "
+              f"({model.num_steps}-step, batch {model.batch_size}, "
+              f"length {model.length}) on http://{host}:{port}")
+        _serve_until_stopped(server, service)
+        return
+
     run_cfg = Path(args.model).parent / "config.json"
     recorded = json.loads(run_cfg.read_text()) if run_cfg.exists() else {}
     if args.preset is not None:
@@ -406,6 +429,10 @@ def _cmd_serve(args) -> None:
     print("POST /generate {\"seed\": 1}  |  GET /stats  |  GET /healthz"
           if task == "unconditional" else
           "POST /transform (WAV body)  |  GET /stats  |  GET /healthz")
+    _serve_until_stopped(server, service)
+
+
+def _serve_until_stopped(server, service) -> None:
     # Orchestrators stop containers with SIGTERM: drain in-flight batches
     # instead of dying mid-request (KeyboardInterrupt covers ^C).
     import signal
@@ -730,6 +757,11 @@ def main(argv=None) -> None:
     v.add_argument("--preset", default=None,
                    help="preset/JSON config; defaults to the config.json "
                         "recorded next to the model dir")
+    v.add_argument("--artifact", default=None,
+                   help="serve from an AOT artifact written by `export` "
+                        "(no model-definition code: --model is just the "
+                        "params dir; shapes/steps/batch come from the "
+                        "artifact's manifest)")
     v.add_argument("--host", default="127.0.0.1")
     v.add_argument("--port", type=int, default=8000)
     v.add_argument("--batch-size", type=int, default=8,

@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 from jax import export as jexport
 
-__all__ = ["export_sampler", "load_sampler"]
+__all__ = ["export_sampler", "load_sampler", "load_params",
+           "ArtifactSampler"]
 
 _BLOB_NAME = "sampler.stablehlo"
 _MANIFEST_NAME = "manifest.json"
@@ -122,3 +123,57 @@ def load_sampler(path) -> Tuple[Callable, Dict]:
         return call(params, noise)
 
     return sampler, manifest
+
+
+def load_params(path) -> Dict:
+    """Restore a params tree saved by ``model.save`` WITHOUT the model:
+    orbax reconstructs the pytree from checkpoint metadata. Pairs with
+    :func:`load_sampler` for model-code-free serving hosts."""
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer().restore(Path(path).absolute())
+
+
+class ArtifactSampler:
+    """Model-shaped wrapper over an exported artifact: a drop-in for
+    :class:`~audio_diffusion_tpu.serve.GenerationService`'s ``model``
+    argument (and the HTTP server above it), so a serving host deploys
+    from ``(artifact dir, params dir)`` alone::
+
+        sampler = ArtifactSampler("artifact/", load_params("run/model"))
+        service = GenerationService(sampler,
+                                    num_steps=sampler.num_steps,
+                                    result_format="pcm16")
+
+    The artifact bakes shape and step count; ``sample`` enforces them —
+    a mismatched request fails loudly instead of recompiling something
+    the artifact was never exported for.
+    """
+
+    def __init__(self, path, params: Optional[Dict] = None):
+        self._fn, self.manifest = load_sampler(path)
+        self.params = params
+        self.num_steps = int(self.manifest["num_steps"])
+        b, c, t = self.manifest["noise_shape"]
+        self.batch_size, self.in_channels, self.length = b, c, t
+        self.sample_rate = self.manifest.get("sample_rate")
+
+    def sample(self, noise, *, num_steps: Optional[int] = None,
+               params: Optional[Dict] = None, **cond):
+        if num_steps is not None and num_steps != self.num_steps:
+            raise ValueError(
+                f"artifact was exported at num_steps={self.num_steps}; "
+                f"per-request num_steps={num_steps} needs its own artifact")
+        if cond:
+            raise ValueError(
+                f"conditioning {sorted(cond)} cannot be passed to an "
+                "exported sampler (scalars are baked at export time; "
+                "arrays need the Python API)")
+        p = params if params is not None else self.params
+        assert p is not None, "pass params= (or set .params) before sampling"
+        noise = jnp.asarray(noise)
+        want = (self.batch_size, self.in_channels, self.length)
+        if tuple(noise.shape) != want:
+            raise ValueError(
+                f"artifact expects noise {want}, got {tuple(noise.shape)}")
+        return self._fn(p, noise)

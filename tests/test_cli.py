@@ -297,3 +297,43 @@ def test_cli_export_artifact(tiny_setup, capsys):
     want = np.asarray(model.sample(noise, num_steps=2, unroll=2))
     got = np.asarray(sampler(model.params, noise))
     np.testing.assert_array_equal(got, want)
+
+
+def test_cli_serve_from_artifact(tiny_setup, monkeypatch, capsys):
+    """`serve --artifact` deploys from (artifact, params) with no model
+    config: shapes/steps/batch come from the manifest."""
+    data, cfg, tmp = tiny_setup
+    run = tmp / "run_art"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(run), "--steps", "1", "--batch", "2",
+          "--crop", "512", "--log-every", "1", "--checkpoint-every", "5"])
+    art = tmp / "artifact_srv"
+    main(["export", "--model", str(run / "model"), "--out", str(art),
+          "--length", "512", "--batch-size", "2", "--steps", "2"])
+
+    from audio_diffusion_tpu import server as server_mod
+
+    bound = {}
+
+    def fake_serve_forever(self):
+        bound["addr"] = self.server_address
+        bound["length"] = self.default_length
+        bound["sr"] = self.sample_rate
+        # Drive one request through the artifact-backed service while the
+        # "server" is up — the full device path, not just binding.
+        fut = self.service.submit_seed(3, length=512, channels=1,
+                                       num_steps=2)
+        bound["audio"] = fut.result(timeout=120)
+
+    monkeypatch.setattr(server_mod.HttpGenerationServer, "serve_forever",
+                        fake_serve_forever)
+    monkeypatch.setattr(server_mod.HttpGenerationServer, "shutdown",
+                        lambda self: self.server_close())
+    main(["serve", "--model", str(run / "model"), "--artifact", str(art),
+          "--port", "0"])
+    assert bound["addr"][1] > 0
+    assert bound["length"] == 512
+    assert bound["sr"] == 8000  # manifest recorded the training rate
+    assert bound["audio"].dtype == np.int16  # pcm16 on-device results
+    assert bound["audio"].shape == (1, 512)
+    assert "serving AOT artifact" in capsys.readouterr().out

@@ -68,3 +68,54 @@ def test_export_guards(tmp_path):
     (tmp_path / "junk" / "sampler.stablehlo").write_bytes(b"")
     with pytest.raises(ValueError, match="not an exported sampler"):
         load_sampler(tmp_path / "junk")
+
+
+def test_artifact_sampler_serves_without_model_code(tmp_path):
+    """The deployment story: (artifact dir, params dir) alone reconstruct
+    serving — GenerationService batches seed requests through the AOT
+    program and results match the live model bit-exactly."""
+    from audio_diffusion_tpu import GenerationService
+    from audio_diffusion_tpu.export import ArtifactSampler, load_params
+
+    model = _tiny_model()
+    export_sampler(model, tmp_path / "art", length=256, batch_size=2,
+                   num_steps=2, sample_rate=8000)
+    model.save(tmp_path / "params")
+
+    sampler = ArtifactSampler(tmp_path / "art",
+                              load_params(tmp_path / "params"))
+    assert (sampler.num_steps, sampler.batch_size, sampler.in_channels,
+            sampler.length) == (2, 2, 1, 256)
+    service = GenerationService(sampler, num_steps=sampler.num_steps,
+                                batch_size=sampler.batch_size,
+                                max_wait_ms=20.0)
+    try:
+        futs = [service.submit_seed(s, length=256, channels=1)
+                for s in (7, 8)]
+        got = np.stack([f.result(timeout=120) for f in futs])
+    finally:
+        service.close()
+
+    # Reference: the live model on the same device-drawn noise.
+    keys = jax.vmap(jax.random.key)(jnp.asarray([7, 8], jnp.uint32))
+    noise = jax.vmap(lambda k: jax.random.normal(
+        k, (1, 256), jnp.float32))(keys)
+    want = np.asarray(model.sample(noise, num_steps=2, unroll=2))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_artifact_sampler_guards(tmp_path):
+    from audio_diffusion_tpu.export import ArtifactSampler
+
+    model = _tiny_model()
+    export_sampler(model, tmp_path / "art", length=256, num_steps=2)
+    sampler = ArtifactSampler(tmp_path / "art", model.params)
+    noise = jnp.zeros((1, 1, 256), jnp.float32)
+    with pytest.raises(ValueError, match="num_steps"):
+        sampler.sample(noise, num_steps=5)
+    with pytest.raises(ValueError, match="conditioning"):
+        sampler.sample(noise, embedding_scale=5.0)
+    with pytest.raises(ValueError, match="expects noise"):
+        sampler.sample(jnp.zeros((1, 1, 128), jnp.float32))
+    out = np.asarray(sampler.sample(noise))
+    assert out.shape == (1, 1, 256) and np.isfinite(out).all()
