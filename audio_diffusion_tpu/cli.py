@@ -189,6 +189,42 @@ def _cmd_train(args) -> None:
     print(f"saved model params to {out / 'model'}")
 
 
+def _load_run_config(args):
+    """Resolve ``(cfg, task, sample_rate, upsample_factor)`` from --preset
+    or the run's config.json (written by `train` next to the model dir).
+    Underscore bookkeeping keys are consumed HERE — unconditionally, so an
+    explicit --sample-rate cannot leave ``_sample_rate`` behind to crash
+    the net constructor — leaving cfg as model kwargs (plus ``_dtype``,
+    which `_build_model` consumes)."""
+    run_cfg = Path(args.model).parent / "config.json"
+    recorded = json.loads(run_cfg.read_text()) if run_cfg.exists() else {}
+    if args.preset is not None:
+        cfg, task = _resolve_config(args.preset)
+    elif recorded:
+        cfg = dict(recorded)
+        task = cfg.pop("_task", "unconditional")
+    else:
+        raise SystemExit(
+            f"no {run_cfg} next to the model dir — pass --preset "
+            "(the config used for training)")
+    rec_rate = cfg.pop("_sample_rate", None) or recorded.get("_sample_rate")
+    sample_rate = getattr(args, "sample_rate", None) or rec_rate or 48000
+    upsample_factor = (cfg.pop("_upsample_factor", None)
+                       or recorded.get("_upsample_factor"))
+    cfg.setdefault("_dtype", args.dtype)
+    return cfg, task, sample_rate, upsample_factor
+
+
+def _short_init_length(cfg: Dict) -> int:
+    """A valid (factor-divisible) initialization length: conv-net param
+    shapes are length-independent, so building the tree for orbax restore
+    never needs the full serving length (which would compile a forward at
+    2^18 — minutes on a remote TPU backend)."""
+    import numpy as np
+
+    return max(int(np.prod(cfg.get("factors", [1])) or 1), 64)
+
+
 def _cmd_distill(args) -> None:
     """Progressive distillation (Salimans & Ho 2022, distill.py) of a
     trained run: halve the sampling step count stage by stage so serving
@@ -206,17 +242,7 @@ def _cmd_distill(args) -> None:
     from . import ProgressiveDistiller
     from .parallel import create_mesh
 
-    run_cfg = Path(args.model).parent / "config.json"
-    recorded = json.loads(run_cfg.read_text()) if run_cfg.exists() else {}
-    if args.preset is not None:
-        cfg, task = _resolve_config(args.preset)
-    elif recorded:
-        cfg = dict(recorded)
-        task = cfg.pop("_task", "unconditional")
-    else:
-        raise SystemExit(
-            f"no {run_cfg} next to the model dir — pass --preset "
-            "(the config used for training)")
+    cfg, task, _, _ = _load_run_config(args)
     if task != "unconditional":
         raise SystemExit(
             f"distill drives unconditional models; a {task} model's "
@@ -231,12 +257,10 @@ def _cmd_distill(args) -> None:
         raise SystemExit(
             f"--target-steps {args.target_steps} is not reachable from "
             f"--base-steps {args.base_steps} by halving")
-    cfg.pop("_sample_rate", None)
-    cfg.pop("_upsample_factor", None)
-    cfg.setdefault("_dtype", args.dtype)
-    model = _build_model(cfg, "v", task)
+    init_len = _short_init_length(cfg)
+    model = _build_model(dict(cfg), "v", task)
     c = cfg.get("in_channels", 2)
-    model.initialize(jnp.zeros((1, c, args.crop)))
+    model.initialize(jnp.zeros((1, c, init_len)))
     model.load(args.model)
 
     mesh = create_mesh()
@@ -251,6 +275,13 @@ def _cmd_distill(args) -> None:
     out = Path(args.out) if args.out else (
         Path(args.model).parent / f"model_distilled{args.target_steps}")
     model.save(out)
+    # `sample --model OUT` resolves OUT's parent config.json; a custom
+    # --out outside the run dir has none, so replicate the run's record
+    # there (otherwise the printed follow-up command could not work).
+    src_cfg = Path(args.model).parent / "config.json"
+    dst_cfg = out.parent / "config.json"
+    if src_cfg.exists() and not dst_cfg.exists():
+        dst_cfg.write_text(src_cfg.read_text())
     print(f"saved distilled params to {out} — sample with "
           f"--model {out} --steps {args.target_steps}")
 
@@ -263,27 +294,11 @@ def _cmd_sample(args) -> None:
 
     from .data import wav_read, wav_write
 
-    run_cfg = Path(args.model).parent / "config.json"
-    recorded = json.loads(run_cfg.read_text()) if run_cfg.exists() else {}
-    if args.preset is not None:
-        cfg, task = _resolve_config(args.preset)
-    elif recorded:
-        cfg = dict(recorded)
-        task = cfg.pop("_task", "unconditional")
-    else:
-        raise SystemExit(
-            f"no {run_cfg} next to the model dir — pass --preset "
-            "(the config used for training)")
     # The training data's rate (recorded by `train`) wins over the 48k
     # default even when the net config comes from --preset.
-    sample_rate = (args.sample_rate or cfg.get("_sample_rate")
-                   or recorded.get("_sample_rate") or 48000)
-    cfg.pop("_sample_rate", None)
-    upsample_factor = (cfg.pop("_upsample_factor", None)
-                       or recorded.get("_upsample_factor"))
+    cfg, task, sample_rate, upsample_factor = _load_run_config(args)
     if args.in_channels is not None:
         cfg["in_channels"] = args.in_channels
-    cfg.setdefault("_dtype", args.dtype)
     model = _build_model(cfg, args.sampler, task, upsample_factor)
     c = cfg.get("in_channels", 2)
     model.initialize(jnp.zeros((1, c, args.length)))
@@ -376,6 +391,16 @@ def _cmd_serve(args) -> None:
         # Model-code-free deployment: the AOT artifact + the params dir
         # are the whole payload (export.py). Shapes/steps are the
         # artifact's; a mismatched request fails loudly.
+        ignored = [flag for flag, given in [
+            ("--steps", args.steps != 50), ("--sampler", args.sampler != "v"),
+            ("--dtype", args.dtype != "bf16"),
+            ("--length", args.length != 2**18),
+            ("--batch-size", args.batch_size != 8),
+            ("--preset", args.preset is not None)] if given]
+        if ignored:
+            print(f"warning: {', '.join(ignored)} ignored in --artifact "
+                  "mode (steps/shapes/batch are baked into the artifact's "
+                  "manifest; re-export to change them)")
         from .export import ArtifactSampler, load_params
 
         model = ArtifactSampler(args.artifact, load_params(args.model))
@@ -395,22 +420,7 @@ def _cmd_serve(args) -> None:
         _serve_until_stopped(server, service)
         return
 
-    run_cfg = Path(args.model).parent / "config.json"
-    recorded = json.loads(run_cfg.read_text()) if run_cfg.exists() else {}
-    if args.preset is not None:
-        cfg, task = _resolve_config(args.preset)
-    elif recorded:
-        cfg = dict(recorded)
-        task = cfg.pop("_task", "unconditional")
-    else:
-        raise SystemExit(
-            f"no {run_cfg} next to the model dir — pass --preset "
-            "(the config used for training)")
-    sample_rate = (args.sample_rate or cfg.pop("_sample_rate", None)
-                   or recorded.get("_sample_rate") or 48000)
-    upsample_factor = (cfg.pop("_upsample_factor", None)
-                       or recorded.get("_upsample_factor"))
-    cfg.setdefault("_dtype", args.dtype)
+    cfg, task, sample_rate, upsample_factor = _load_run_config(args)
     model = _build_model(cfg, args.sampler, task, upsample_factor)
     c = cfg.get("in_channels", 2)
     model.initialize(jnp.zeros((1, c, args.length)))
@@ -459,28 +469,18 @@ def _cmd_export(args) -> None:
 
     from .export import export_sampler
 
-    run_cfg = Path(args.model).parent / "config.json"
-    recorded = json.loads(run_cfg.read_text()) if run_cfg.exists() else {}
-    if args.preset is not None:
-        cfg, task = _resolve_config(args.preset)
-    elif recorded:
-        cfg = dict(recorded)
-        task = cfg.pop("_task", "unconditional")
-    else:
-        raise SystemExit(
-            f"no {run_cfg} next to the model dir — pass --preset "
-            "(the config used for training)")
-    sample_rate = (args.sample_rate or cfg.pop("_sample_rate", None)
-                   or recorded.get("_sample_rate") or 48000)
+    cfg, task, sample_rate, _ = _load_run_config(args)
     if task != "unconditional":
         raise SystemExit(
             f"export drives unconditional models; a {task} model's array "
             "conditioning needs the Python API (export_sampler(**cond))")
-    cfg.pop("_upsample_factor", None)
-    cfg.setdefault("_dtype", args.dtype)
-    model = _build_model(cfg, args.sampler, task)
+    # Param shapes are length-independent: build the tree at a short
+    # length (fast), then export traces at the real serving length via
+    # shape specs — no full-length forward compile at export time.
+    init_len = _short_init_length(cfg)
+    model = _build_model(dict(cfg), args.sampler, task)
     c = cfg.get("in_channels", 2)
-    model.initialize(jnp.zeros((1, c, args.length)))
+    model.initialize(jnp.zeros((1, c, init_len)))
     model.load(args.model)
     manifest = export_sampler(
         model, args.out, length=args.length, batch_size=args.batch_size,

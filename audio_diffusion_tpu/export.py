@@ -49,7 +49,7 @@ def export_sampler(
     batch_size: int = 1,
     num_steps: int = 50,
     channels: Optional[int] = None,
-    unroll: int = 5,
+    unroll: int = 1,
     params: Optional[Dict] = None,
     sample_rate: Optional[int] = None,
     **cond,
@@ -64,16 +64,26 @@ def export_sampler(
     ``**cond`` scalars (ints/floats/bools, e.g. ``embedding_scale=5.0``)
     are closed over; arrays are rejected (export one program per scalar
     config, pass array conditioning through the Python API).
+
+    ``unroll`` (scan unroll factor) defaults to 1 — `model.sample`'s own
+    default, which keeps the artifact BIT-exact with the live model on
+    every default path; other values change XLA scheduling and therefore
+    float rounding (~1e-6). The manifest records it either way.
     """
     p = params if params is not None else model.params
     assert p is not None, (
         "initialize/load the model before exporting its sampler")
+    clean = {}
     for k, v in cond.items():
         if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0:
             raise ValueError(
                 f"cond {k!r} is an array: only scalar conditioning can be "
                 "baked into an exported sampler (array conditioning needs "
                 "the Python API)")
+        # 0-dim numpy/jnp scalars would pass tracing but break the JSON
+        # manifest afterwards — coerce to Python scalars up front.
+        clean[k] = v.item() if hasattr(v, "item") else v
+    cond = clean
     c = channels if channels is not None else getattr(
         model.net, "in_channels", None)
     assert c is not None, "pass channels= (net does not declare in_channels)"
@@ -92,17 +102,22 @@ def export_sampler(
         "kind": "audio_diffusion_tpu.sampler",
         "noise_shape": [batch_size, c, length],
         "num_steps": num_steps,
+        "unroll": min(unroll, num_steps),
         "platforms": list(exported.platforms),
-        "sample_rate": sample_rate,
-        "scalar_cond": {k: v for k, v in cond.items()},
+        "sample_rate": (int(sample_rate) if sample_rate is not None
+                        else None),
+        "scalar_cond": dict(cond),
         "jax_version": jax.__version__,
         "out_shape": list(exported.out_avals[0].shape),
         "out_dtype": str(exported.out_avals[0].dtype),
     }
+    # Serialize the manifest BEFORE touching disk: a failure here must not
+    # leave a blob-without-manifest (unloadable) artifact behind.
+    manifest_text = json.dumps(manifest, indent=1)
     out = Path(path)
     out.mkdir(parents=True, exist_ok=True)
     (out / _BLOB_NAME).write_bytes(blob)
-    (out / _MANIFEST_NAME).write_text(json.dumps(manifest, indent=1))
+    (out / _MANIFEST_NAME).write_text(manifest_text)
     return manifest
 
 

@@ -294,7 +294,7 @@ def test_cli_export_artifact(tiny_setup, capsys):
     model.initialize(jnp.zeros((1, 1, 512)))
     model.load(run / "model")
     noise = jax.random.normal(jax.random.key(0), (1, 1, 512), jnp.float32)
-    want = np.asarray(model.sample(noise, num_steps=2, unroll=2))
+    want = np.asarray(model.sample(noise, num_steps=2))
     got = np.asarray(sampler(model.params, noise))
     np.testing.assert_array_equal(got, want)
 
@@ -337,3 +337,48 @@ def test_cli_serve_from_artifact(tiny_setup, monkeypatch, capsys):
     assert bound["audio"].dtype == np.int16  # pcm16 on-device results
     assert bound["audio"].shape == (1, 512)
     assert "serving AOT artifact" in capsys.readouterr().out
+
+
+def test_cli_sample_rate_override_with_recorded_config(tiny_setup):
+    """Explicit --sample-rate must not leave _sample_rate behind in the
+    net kwargs (regression: the pop used to short-circuit inside `or`,
+    crashing model construction for sample/serve/export)."""
+    data, cfg, tmp = tiny_setup
+    run = tmp / "run_sr"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(run), "--steps", "1", "--batch", "2",
+          "--crop", "512", "--log-every", "1", "--checkpoint-every", "5"])
+    out = tmp / "sr_samples"
+    main(["sample", "--model", str(run / "model"), "--out", str(out),
+          "--num", "1", "--steps", "2", "--length", "512",
+          "--sample-rate", "4000"])
+    from audio_diffusion_tpu.data import wav_probe
+
+    assert wav_probe(next(out.glob("*.wav")))[1] == 4000
+
+    art = tmp / "sr_artifact"
+    main(["export", "--model", str(run / "model"), "--out", str(art),
+          "--length", "512", "--steps", "2", "--sample-rate", "4000"])
+    import json as _json
+
+    assert _json.loads((art / "manifest.json").read_text())[
+        "sample_rate"] == 4000
+
+
+def test_cli_distill_custom_out_is_sampleable(tiny_setup):
+    """A custom --out outside the run dir still yields a dir `sample`
+    can consume (the run config is replicated next to it)."""
+    data, cfg, tmp = tiny_setup
+    run = tmp / "run_dout"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(run), "--steps", "1", "--batch", "2",
+          "--crop", "512", "--log-every", "1", "--checkpoint-every", "5"])
+    custom = tmp / "elsewhere" / "fast_model"
+    main(["distill", "--model", str(run / "model"), "--data", str(data),
+          "--base-steps", "2", "--target-steps", "1",
+          "--stage-steps", "1", "--batch", "2", "--crop", "512",
+          "--out", str(custom)])
+    out = tmp / "dout_samples"
+    main(["sample", "--model", str(custom), "--out", str(out),
+          "--num", "1", "--steps", "1", "--length", "512"])
+    assert len(list(out.glob("*.wav"))) == 1
