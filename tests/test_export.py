@@ -134,3 +134,20 @@ def test_export_scalar_cond_coerced_for_manifest(tmp_path):
     assert man["sample_rate"] == 8000  # survives json round-trip
     assert json.loads((tmp_path / "a" / "manifest.json").read_text())[
         "unroll"] == 1
+
+
+def test_export_composes_with_int8_quantization(tmp_path):
+    """Int8 weight streaming and AOT export compose: export traced over a
+    quantized tree serves QTensor params (capacity lever + codeless host
+    in one deployment)."""
+    from audio_diffusion_tpu import quantize_params
+
+    model = _tiny_model()
+    qparams = quantize_params(model.params)
+    export_sampler(model, tmp_path / "art", length=256, num_steps=2,
+                   params=qparams)
+    sampler, _ = load_sampler(tmp_path / "art")
+    noise = jax.random.normal(jax.random.key(3), (1, 1, 256), jnp.float32)
+    want = np.asarray(model.sample(noise, num_steps=2, params=qparams))
+    got = np.asarray(sampler(qparams, noise))
+    np.testing.assert_array_equal(got, want)
