@@ -27,13 +27,21 @@ __all__ = ["main"]
 
 
 # Named presets this CLI can drive end-to-end, mapped to their task.
-# AUTOENCODER needs an encoder object and TEXT_CONDITIONAL needs caption
-# plumbing — those remain Python-API-only (README "Autoencoder" section).
+# TEXT_CONDITIONAL needs caption plumbing and remains Python-API-only.
 _CLI_PRESETS = {
     "UNCONDITIONAL_48K": "unconditional",
     "UPSAMPLER_16X": "upsampler",
     "VOCODER_48K": "vocoder",
+    "AUTOENCODER_48K": "autoencoder",
 }
+
+# The reference README's diffusion-autoencoder encoder configuration
+# (reference README.md:139-152: MelE1d out_channels=32, mel 80 bins,
+# channels 512, one 2x stage, inject_depth=6) — the CLI default; override
+# per-key via an "_encoder" dict (+ "_inject_depth") in a JSON config.
+_AE_ENCODER_DEFAULTS = dict(channels=512, factors=[2], num_blocks=[12],
+                            out_channels=32, mel_channels=80)
+_AE_INJECT_DEPTH = 6
 
 
 def _resolve_config(preset: str):
@@ -50,9 +58,8 @@ def _resolve_config(preset: str):
         return cfg, cfg.pop("_task", "unconditional")
     if hasattr(presets, name):
         raise SystemExit(
-            f"preset {preset!r} needs the Python API (DiffusionAE requires "
-            "an encoder object; text conditioning requires caption "
-            "plumbing); this CLI drives: "
+            f"preset {preset!r} needs the Python API (text conditioning "
+            "requires caption plumbing); this CLI drives: "
             f"{', '.join(_CLI_PRESETS)} or a JSON kwargs file")
     raise SystemExit(
         f"unknown preset {preset!r}: pass one of "
@@ -104,6 +111,17 @@ def _build_model(cfg: Dict, sampler: str, task: str = "unconditional",
             upsample_factor=upsample_factor or 16, **cfg)
     if task == "vocoder":
         return DiffusionVocoder(net_t=UNetV0, sampler_t=sampler_t, **cfg)
+    if task == "autoencoder":
+        from .models import DiffusionAE, MelEncoder1d
+
+        enc_cfg = {**_AE_ENCODER_DEFAULTS, **(cfg.pop("_encoder", None)
+                                              or {})}
+        inject_depth = cfg.pop("_inject_depth", _AE_INJECT_DEPTH)
+        encoder = MelEncoder1d(in_channels=cfg.get("in_channels", 2),
+                               dtype=cfg.get("dtype"), **enc_cfg)
+        return DiffusionAE(net_t=UNetV0, sampler_t=sampler_t,
+                           encoder=encoder, inject_depth=inject_depth,
+                           **cfg)
     assert task == "unconditional", task
     return DiffusionModel(net_t=UNetV0, sampler_t=sampler_t, **cfg)
 
@@ -153,6 +171,11 @@ def _cmd_train(args) -> None:
     if task == "vocoder":
         # The mel front end's rate defaults to the training data's.
         cfg.setdefault("mel_sample_rate", ds.sample_rate)
+    if task == "autoencoder":
+        # The encoder's mel front end likewise follows the data.
+        enc = dict(cfg.get("_encoder") or {})
+        enc.setdefault("mel_sample_rate", ds.sample_rate)
+        cfg["_encoder"] = enc
     cfg.setdefault("_dtype", args.dtype)
     model = _build_model(dict(cfg), "v", task, args.upsample_factor)
     model.initialize(jnp.zeros((1, ds.channels, args.crop)))
@@ -336,6 +359,23 @@ def _cmd_sample(args) -> None:
         dest = out / f"vocoded_{Path(args.input).stem}.wav"
         wav_write(dest, audio[0], sample_rate)
         print(f"wrote {dest} (mel {tuple(spec.shape)} -> "
+              f"{audio.shape[-1]} frames, {args.steps}-step {args.sampler}, "
+              f"{sample_rate} Hz)")
+        return
+
+    if task == "autoencoder":
+        # --input round-trips through the latent: encode, then diffusion-
+        # decode (reference README.md:133-168 latent = encode; decode).
+        if args.input is None:
+            raise SystemExit("autoencoder sampling needs --input "
+                             "(a WAV to round-trip through the latent)")
+        ref = wav_read(args.input)
+        latent = model.encode(jnp.asarray(ref)[None])
+        audio = np.asarray(model.decode(
+            latent, num_steps=args.steps, key=jax.random.key(args.seed)))
+        dest = out / f"reconstructed_{Path(args.input).stem}.wav"
+        wav_write(dest, audio[0], sample_rate)
+        print(f"wrote {dest} (latent {tuple(latent.shape)} -> "
               f"{audio.shape[-1]} frames, {args.steps}-step {args.sampler}, "
               f"{sample_rate} Hz)")
         return
@@ -657,7 +697,8 @@ def main(argv=None) -> None:
                         "remote-TPU fast path); auto picks device for "
                         "corpora <= 1 GiB")
     t.add_argument("--task", choices=("unconditional", "upsampler",
-                                      "vocoder"), default=None,
+                                      "vocoder", "autoencoder"),
+                   default=None,
                    help="model task (default: inferred from the preset "
                         "name or the JSON config's _task key)")
     t.add_argument("--upsample-factor", type=int, default=None,
@@ -686,7 +727,8 @@ def main(argv=None) -> None:
     s.add_argument("--input", default=None,
                    help="task-model input WAV: low-rate audio for an "
                         "upsampler, a reference WAV (mel source) for a "
-                        "vocoder")
+                        "vocoder, audio to round-trip through the latent "
+                        "for an autoencoder")
     s.add_argument("--dtype", choices=("bf16", "f32"), default="bf16",
                    help="compute dtype; the recorded training config wins "
                         "when present")

@@ -382,3 +382,38 @@ def test_cli_distill_custom_out_is_sampleable(tiny_setup):
     main(["sample", "--model", str(custom), "--out", str(out),
           "--num", "1", "--steps", "1", "--length", "512"])
     assert len(list(out.glob("*.wav"))) == 1
+
+
+def test_cli_autoencoder_task(tmp_path):
+    """AUTOENCODER task trains and round-trips a WAV through the latent
+    from the CLI (encoder config via the JSON's _encoder/_inject_depth)."""
+    data = tmp_path / "data"
+    data.mkdir()
+    for i in range(2):
+        _write_wav(data / f"{i}.wav", frames=2048, channels=2, seed=i)
+    cfg = tmp_path / "ae.json"
+    cfg.write_text(json.dumps(dict(
+        in_channels=2, channels=[8, 16, 32], factors=[1, 4, 8],
+        items=[1, 1, 1], modulation_features=32,
+        _task="autoencoder", _inject_depth=2,
+        _encoder=dict(channels=32, out_channels=4, factors=[2],
+                      num_blocks=[1], mel_channels=16, mel_n_fft=64))))
+    run = tmp_path / "run_ae"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(run), "--steps", "2", "--batch", "2",
+          "--crop", "1024", "--log-every", "2", "--checkpoint-every", "9"])
+    assert (run / "model").exists()
+    # The recorded config carries the encoder spec and the data's rate.
+    recorded = json.loads((run / "config.json").read_text())
+    assert recorded["_task"] == "autoencoder"
+    assert recorded["_encoder"]["mel_sample_rate"] == 8000
+
+    out = tmp_path / "ae_out"
+    main(["sample", "--model", str(run / "model"), "--out", str(out),
+          "--input", str(data / "0.wav"), "--steps", "2",
+          "--length", "1024"])
+    from audio_diffusion_tpu.data import wav_probe
+
+    dest = out / "reconstructed_0.wav"
+    c, sr, n = wav_probe(dest)
+    assert (c, sr, n) == (2, 8000, 2048)  # closest_power_2 of 64*32
