@@ -468,7 +468,10 @@ def _cmd_serve(args) -> None:
 
     service = GenerationService(
         model, num_steps=args.steps, batch_size=args.batch_size,
-        max_wait_ms=args.max_wait_ms, result_format="pcm16")
+        max_wait_ms=args.max_wait_ms, result_format="pcm16",
+        # AE serving batches latent->audio diffusion decodes; /transform
+        # encodes each upload before submitting.
+        method="decode" if task == "autoencoder" else "sample")
     server = make_server(
         service, sample_rate=sample_rate, default_length=args.length,
         channels=c, task=task, model=model, host=args.host, port=args.port,

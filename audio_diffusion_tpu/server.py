@@ -30,9 +30,10 @@ Endpoints
 ``POST /transform``
     Body is a WAV file; task models transform it: a ``DiffusionUpsampler``
     bandwidth-extends it, a ``DiffusionVocoder`` re-vocodes its mel
-    spectrogram (reference README.md:97-131 use cases, served). Query
-    string carries options: ``/transform?num_steps=25``. Inputs of one
-    fixed length batch together; a new length compiles a new program.
+    spectrogram, a ``DiffusionAE`` round-trips it through the latent
+    (reference README.md:97-168 use cases, served). Query string carries
+    options: ``/transform?num_steps=25``. Inputs of one fixed length
+    batch together; a new length compiles a new program.
 
 Clients needing only Python should prefer ``GenerationService`` directly;
 this layer exists for non-Python clients and multi-tenant deployments.
@@ -190,6 +191,10 @@ class _Handler(BaseHTTPRequestHandler):
             # the spectrograms.
             primary = np.asarray(
                 self.server.model.to_spectrogram(audio[None]))[0]
+        elif self.server.task == "autoencoder":
+            # Latent round-trip: encode here, the service batches the
+            # diffusion decodes (GenerationService(method="decode")).
+            primary = np.asarray(self.server.model.encode(audio[None]))[0]
         else:  # upsampler: the low-rate audio is the request payload
             primary = audio
         fut = self.server.service.submit(primary, num_steps=num_steps)
@@ -229,9 +234,10 @@ def make_server(service, *, sample_rate: int, default_length: int,
     port (``server.server_address[1]``). Call ``serve_forever()`` or run
     it in a thread; ``shutdown()`` stops it. The caller owns the
     service's lifecycle (close it after shutdown)."""
-    if task in ("upsampler", "vocoder") and model is None:
+    if task in ("upsampler", "vocoder", "autoencoder") and model is None:
         raise ValueError(f"task={task!r} needs model= (the vocoder's mel "
-                         "front end / task sample path run on it)")
+                         "front end / the autoencoder's encoder / task "
+                         "sample paths run on it)")
     return HttpGenerationServer(
         (host, port), service, sample_rate=sample_rate,
         default_length=default_length, channels=channels, task=task,

@@ -183,3 +183,40 @@ def test_make_server_requires_model_for_task():
     with pytest.raises(ValueError):
         make_server(object(), sample_rate=16000, default_length=256,
                     task="vocoder")
+
+
+def test_transform_autoencoder():
+    """AE over HTTP: the upload is encoded to the latent on the handler
+    thread and diffusion-decoded in the batched service (method='decode');
+    the response round-trips the audio at the input length."""
+    from audio_diffusion_tpu.models import DiffusionAE, MelEncoder1d
+
+    encoder = MelEncoder1d(in_channels=2, channels=32, out_channels=4,
+                           factors=[2], num_blocks=[1], mel_channels=16,
+                           mel_n_fft=64, mel_sample_rate=16000)
+    model = DiffusionAE(net_t=UNetV0, in_channels=2, encoder=encoder,
+                        inject_depth=2, channels=[8, 16, 32],
+                        factors=[1, 4, 8], items=[1, 1, 1],
+                        modulation_features=32)
+    model.initialize(jnp.zeros((1, 2, 1024)))
+    service = GenerationService(model, num_steps=2, batch_size=1,
+                                max_wait_ms=10.0, result_format="pcm16",
+                                method="decode")
+    server = make_server(service, sample_rate=16000, default_length=1024,
+                         task="autoencoder", model=model,
+                         host="127.0.0.1", port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        x = (np.random.default_rng(1).standard_normal((2, 1024)) * 0.3
+             ).astype(np.float32)
+        code, headers, body = _post(base + "/transform?num_steps=2",
+                                    wav_bytes(x, 16000), "audio/wav")
+        assert code == 200
+        audio, sr = _parse_wav(body)
+        assert audio.shape == (2, 1024) and sr == 16000
+        assert headers["X-Input-Frames"] == "1024"
+    finally:
+        server.shutdown()
+        service.close()
