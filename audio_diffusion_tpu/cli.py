@@ -238,6 +238,21 @@ def _load_run_config(args):
     return cfg, task, sample_rate, upsample_factor
 
 
+def _init_cond_kwargs(cfg: Dict) -> Dict:
+    """Conditioning arrays required at initialization time: cross-attention
+    levels trace an embedding input, so param building needs a (dummy)
+    one of the declared shape."""
+    import jax.numpy as jnp
+
+    out: Dict = {}
+    if cfg.get("embedding_features") and any(cfg.get("cross_attentions")
+                                             or []):
+        out["embedding"] = jnp.zeros(
+            (1, cfg.get("embedding_max_length", 64),
+             cfg["embedding_features"]), jnp.float32)
+    return out
+
+
 def _short_init_length(cfg: Dict) -> int:
     """A valid (factor-divisible) initialization length: conv-net param
     shapes are length-independent, so building the tree for orbax restore
@@ -283,7 +298,8 @@ def _cmd_distill(args) -> None:
     init_len = _short_init_length(cfg)
     model = _build_model(dict(cfg), "v", task)
     c = cfg.get("in_channels", 2)
-    model.initialize(jnp.zeros((1, c, init_len)))
+    model.initialize(jnp.zeros((1, c, init_len)),
+                 **_init_cond_kwargs(cfg))
     model.load(args.model)
 
     mesh = create_mesh()
@@ -324,7 +340,8 @@ def _cmd_sample(args) -> None:
         cfg["in_channels"] = args.in_channels
     model = _build_model(cfg, args.sampler, task, upsample_factor)
     c = cfg.get("in_channels", 2)
-    model.initialize(jnp.zeros((1, c, args.length)))
+    model.initialize(jnp.zeros((1, c, args.length)),
+                 **_init_cond_kwargs(cfg))
     model.load(args.model)
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -380,6 +397,24 @@ def _cmd_sample(args) -> None:
               f"{sample_rate} Hz)")
         return
 
+    # Precomputed text/CLAP embeddings (.npy): the deployment path for
+    # text-conditional models trained via the Python API — the frozen-T5
+    # encode happens wherever embeddings were produced, not here.
+    cond = {}
+    if args.embedding is not None:
+        emb = np.load(args.embedding)
+        if emb.ndim == 2:  # [tokens, features] -> same text for every sample
+            emb = np.repeat(emb[None], args.num, 0)
+        if emb.shape[0] != args.num:
+            raise SystemExit(
+                f"--embedding batch {emb.shape[0]} != --num {args.num} "
+                "(pass [tokens, features] to broadcast)")
+        cond["embedding"] = emb
+        if args.embedding_scale is not None:
+            cond["embedding_scale"] = args.embedding_scale
+    elif args.embedding_scale is not None:
+        raise SystemExit("--embedding-scale needs --embedding")
+
     if args.total_length is not None and args.total_length > args.length:
         # Long-form: chain RePaint-outpainted windows past the training
         # crop (longform.generate_long). One key drives the whole batch,
@@ -391,7 +426,7 @@ def _cmd_sample(args) -> None:
             model, length=args.total_length, window=args.length,
             overlap=overlap, num_steps=args.steps,
             num_resamples=args.resamples,
-            key=jax.random.key(args.seed), batch_size=args.num))
+            key=jax.random.key(args.seed), batch_size=args.num, **cond))
         for i in range(args.num):
             wav_write(out / f"long_{args.seed}_{i}.wav", audio[i],
                       sample_rate)
@@ -409,7 +444,7 @@ def _cmd_sample(args) -> None:
         np.random.default_rng(args.seed + i).standard_normal(
             (c, args.length)).astype(np.float32)
         for i in range(args.num)])
-    audio = np.asarray(model.sample(noise, num_steps=args.steps))
+    audio = np.asarray(model.sample(noise, num_steps=args.steps, **cond))
     for i in range(args.num):
         wav_write(out / f"sample_{args.seed + i}.wav", audio[i],
                   sample_rate)
@@ -463,7 +498,8 @@ def _cmd_serve(args) -> None:
     cfg, task, sample_rate, upsample_factor = _load_run_config(args)
     model = _build_model(cfg, args.sampler, task, upsample_factor)
     c = cfg.get("in_channels", 2)
-    model.initialize(jnp.zeros((1, c, args.length)))
+    model.initialize(jnp.zeros((1, c, args.length)),
+                 **_init_cond_kwargs(cfg))
     model.load(args.model)
 
     service = GenerationService(
@@ -523,7 +559,8 @@ def _cmd_export(args) -> None:
     init_len = _short_init_length(cfg)
     model = _build_model(dict(cfg), args.sampler, task)
     c = cfg.get("in_channels", 2)
-    model.initialize(jnp.zeros((1, c, init_len)))
+    model.initialize(jnp.zeros((1, c, init_len)),
+                 **_init_cond_kwargs(cfg))
     model.load(args.model)
     manifest = export_sampler(
         model, args.out, length=args.length, batch_size=args.batch_size,
@@ -746,6 +783,14 @@ def main(argv=None) -> None:
     s.add_argument("--resamples", type=int, default=2,
                    help="RePaint harmonization resamples per step for "
                         "--total-length windows")
+    s.add_argument("--embedding", default=None,
+                   help=".npy of precomputed text/conditioning embeddings "
+                        "([tokens, features] broadcast to --num, or "
+                        "[num, tokens, features]) for cross-attention "
+                        "models trained via the Python API")
+    s.add_argument("--embedding-scale", type=float, default=None,
+                   help="CFG guidance scale (needs --embedding and a "
+                        "use_embedding_cfg model)")
     s.set_defaults(fn=_cmd_sample)
 
     d = sub.add_parser(

@@ -417,3 +417,43 @@ def test_cli_autoencoder_task(tmp_path):
     dest = out / "reconstructed_0.wav"
     c, sr, n = wav_probe(dest)
     assert (c, sr, n) == (2, 8000, 2048)  # closest_power_2 of 64*32
+
+
+def test_cli_sample_with_precomputed_embedding(tmp_path):
+    """Text-conditional deployment without T5: a Python-API-trained
+    cross-attention model samples from the CLI with --embedding (.npy)
+    and CFG --embedding-scale."""
+    import jax.numpy as jnp
+
+    from audio_diffusion_tpu.cli import _build_model
+
+    cfg = dict(in_channels=1, channels=[8, 32], factors=[1, 4],
+               items=[1, 1], cross_attentions=[0, 1], attention_heads=2,
+               attention_features=8, modulation_features=32,
+               use_embedding_cfg=True, embedding_max_length=8,
+               embedding_features=16)
+    run = tmp_path / "run_txt"
+    run.mkdir()
+    # Stand in for a Python-API training run: model params + config.json.
+    model = _build_model(dict(cfg, _dtype="f32"), "v", "unconditional")
+    model.initialize(jnp.zeros((1, 1, 256)),
+                     embedding=jnp.zeros((1, 8, 16)))
+    model.save(run / "model")
+    (run / "config.json").write_text(json.dumps(
+        {**cfg, "_dtype": "f32", "_sample_rate": 8000,
+         "_task": "unconditional"}))
+
+    emb = np.random.default_rng(0).standard_normal((8, 16)).astype(
+        np.float32)
+    np.save(tmp_path / "emb.npy", emb)
+    out = tmp_path / "txt_samples"
+    main(["sample", "--model", str(run / "model"), "--out", str(out),
+          "--num", "2", "--steps", "2", "--length", "256",
+          "--embedding", str(tmp_path / "emb.npy"),
+          "--embedding-scale", "3.0"])
+    wavs = sorted(out.glob("*.wav"))
+    assert len(wavs) == 2
+    with pytest.raises(SystemExit, match="needs --embedding"):
+        main(["sample", "--model", str(run / "model"), "--out", str(out),
+              "--num", "1", "--steps", "2", "--length", "256",
+              "--embedding-scale", "3.0"])
