@@ -164,6 +164,12 @@ class _Handler(BaseHTTPRequestHandler):
             raise ValueError(
                 f"/generate draws from noise; a {self.server.task} model "
                 "transforms input audio — POST the WAV to /transform")
+        # Numeric JSON lists are conditioning arrays (e.g. "embedding":
+        # [[...]...] — precomputed text embeddings); string lists stay
+        # text. Scalars pass through untouched.
+        for k, v in req.items():
+            if isinstance(v, list) and v and not isinstance(v[0], str):
+                req[k] = np.asarray(v, np.float32)
         fut = self.server.service.submit_seed(
             seed, length=length, channels=channels, num_steps=num_steps,
             **req)

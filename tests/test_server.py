@@ -220,3 +220,42 @@ def test_transform_autoencoder():
     finally:
         server.shutdown()
         service.close()
+
+
+def test_generate_with_embedding_conditioning():
+    """Text-conditional serving without local T5: the JSON carries the
+    precomputed embedding as a nested list, plus a CFG scale scalar."""
+    model = DiffusionModel(
+        net_t=UNetV0, in_channels=1, channels=[8, 32], factors=[1, 4],
+        items=[1, 1], cross_attentions=[0, 1], attention_heads=2,
+        attention_features=8, modulation_features=32,
+        use_embedding_cfg=True, embedding_max_length=8,
+        embedding_features=16)
+    model.initialize(jnp.zeros((1, 1, 256)),
+                     embedding=jnp.zeros((1, 8, 16)))
+    service = GenerationService(model, num_steps=2, batch_size=1,
+                                max_wait_ms=10.0, result_format="pcm16")
+    server = make_server(service, sample_rate=8000, default_length=256,
+                         channels=1, host="127.0.0.1", port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        emb = np.random.default_rng(0).standard_normal((8, 16)).round(3)
+        body = json.dumps({"seed": 4, "embedding": emb.tolist(),
+                           "embedding_scale": 3.0}).encode()
+        code, headers, resp = _post(base + "/generate", body)
+        assert code == 200
+        audio, sr = _parse_wav(resp)
+        assert audio.shape == (1, 256) and sr == 8000
+        # Same seed, different embedding -> different audio (the
+        # conditioning actually reaches the net).
+        emb2 = np.random.default_rng(1).standard_normal((8, 16)).round(3)
+        body2 = json.dumps({"seed": 4, "embedding": emb2.tolist(),
+                            "embedding_scale": 3.0}).encode()
+        _, _, resp2 = _post(base + "/generate", body2)
+        audio2, _ = _parse_wav(resp2)
+        assert not np.array_equal(audio, audio2)
+    finally:
+        server.shutdown()
+        service.close()
