@@ -122,6 +122,13 @@ def _build_model(cfg: Dict, sampler: str, task: str = "unconditional",
         return DiffusionAE(net_t=UNetV0, sampler_t=sampler_t,
                            encoder=encoder, inject_depth=inject_depth,
                            **cfg)
+    if task == "ar":
+        # Autoregressive: context window + split count are model geometry
+        # (the σ ladder); sampling is ARVSampler regardless of --sampler.
+        from .models import DiffusionAR
+
+        return DiffusionAR(net_t=UNetV0, length=cfg.pop("_length"),
+                           num_splits=cfg.pop("_num_splits", 4), **cfg)
     assert task == "unconditional", task
     return DiffusionModel(net_t=UNetV0, sampler_t=sampler_t, **cfg)
 
@@ -176,6 +183,10 @@ def _cmd_train(args) -> None:
         enc = dict(cfg.get("_encoder") or {})
         enc.setdefault("mel_sample_rate", ds.sample_rate)
         cfg["_encoder"] = enc
+    if task == "ar":
+        # The AR context window is the training crop.
+        cfg["_length"] = args.crop
+        cfg.setdefault("_num_splits", args.num_splits)
     cfg.setdefault("_dtype", args.dtype)
     model = _build_model(dict(cfg), "v", task, args.upsample_factor)
     model.initialize(jnp.zeros((1, ds.channels, args.crop)))
@@ -338,13 +349,30 @@ def _cmd_sample(args) -> None:
     cfg, task, sample_rate, upsample_factor = _load_run_config(args)
     if args.in_channels is not None:
         cfg["in_channels"] = args.in_channels
+    # AR models fix their own context window; init must match it.
+    ar_length = cfg.get("_length")
     model = _build_model(cfg, args.sampler, task, upsample_factor)
     c = cfg.get("in_channels", 2)
-    model.initialize(jnp.zeros((1, c, args.length)),
-                 **_init_cond_kwargs(cfg))
+    model.initialize(jnp.zeros((1, c, ar_length or args.length)),
+                     **_init_cond_kwargs(cfg))
     model.load(args.model)
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
+
+    if task == "ar":
+        # Autoregressive long-context generation: --chunks windows of
+        # length/num_splits frames each (reference models.py:227-250 +
+        # diffusion.py:249-296 usage).
+        audio = np.asarray(model.sample(
+            num_items=args.num, num_chunks=args.chunks,
+            num_steps=args.steps, key=jax.random.key(args.seed)))
+        for i in range(args.num):
+            wav_write(out / f"ar_{args.seed}_{i}.wav", audio[i],
+                      sample_rate)
+        print(f"wrote {args.num} AR samples ({audio.shape[-1]} frames = "
+              f"{args.chunks} chunks, {args.steps}-step ladder, "
+              f"{sample_rate} Hz) to {out}")
+        return
 
     if task == "upsampler":
         # --input is the LOW-RATE audio; output is its bandwidth-extended
@@ -496,6 +524,10 @@ def _cmd_serve(args) -> None:
         return
 
     cfg, task, sample_rate, upsample_factor = _load_run_config(args)
+    if task == "ar":
+        raise SystemExit(
+            "AR serving needs the Python API (its sampler generates from "
+            "a key, not per-request noise/input payloads)")
     model = _build_model(cfg, args.sampler, task, upsample_factor)
     c = cfg.get("in_channels", 2)
     model.initialize(jnp.zeros((1, c, args.length)),
@@ -737,12 +769,15 @@ def main(argv=None) -> None:
                         "remote-TPU fast path); auto picks device for "
                         "corpora <= 1 GiB")
     t.add_argument("--task", choices=("unconditional", "upsampler",
-                                      "vocoder", "autoencoder"),
+                                      "vocoder", "autoencoder", "ar"),
                    default=None,
                    help="model task (default: inferred from the preset "
                         "name or the JSON config's _task key)")
     t.add_argument("--upsample-factor", type=int, default=None,
                    help="upsampler task: the rate ratio (default 16)")
+    t.add_argument("--num-splits", type=int, default=4,
+                   help="ar task: σ-ladder splits of the --crop context "
+                        "window")
     t.add_argument("--dtype", choices=("bf16", "f32"), default="bf16",
                    help="compute dtype (master params stay f32); bf16 is "
                         "the TPU production setting")
@@ -791,6 +826,9 @@ def main(argv=None) -> None:
     s.add_argument("--embedding-scale", type=float, default=None,
                    help="CFG guidance scale (needs --embedding and a "
                         "use_embedding_cfg model)")
+    s.add_argument("--chunks", type=int, default=8,
+                   help="ar task: number of generated chunks "
+                        "(output length = chunks x length/num_splits)")
     s.set_defaults(fn=_cmd_sample)
 
     d = sub.add_parser(

@@ -457,3 +457,27 @@ def test_cli_sample_with_precomputed_embedding(tmp_path):
         main(["sample", "--model", str(run / "model"), "--out", str(out),
               "--num", "1", "--steps", "2", "--length", "256",
               "--embedding-scale", "3.0"])
+
+
+def test_cli_ar_task(tiny_setup):
+    """Autoregressive task: --task ar trains on the crop window and
+    `sample --chunks` generates past it."""
+    data, cfg, tmp = tiny_setup
+    run = tmp / "run_ar"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(run), "--steps", "2", "--batch", "2",
+          "--crop", "512", "--task", "ar", "--num-splits", "4",
+          "--log-every", "2", "--checkpoint-every", "9"])
+    recorded = json.loads((run / "config.json").read_text())
+    assert recorded["_task"] == "ar"
+    assert recorded["_length"] == 512 and recorded["_num_splits"] == 4
+
+    out = tmp / "ar_samples"
+    main(["sample", "--model", str(run / "model"), "--out", str(out),
+          "--num", "2", "--steps", "4", "--chunks", "6"])
+    from audio_diffusion_tpu.data import wav_probe
+
+    wavs = sorted(out.glob("ar_*.wav"))
+    assert len(wavs) == 2
+    c, sr, n = wav_probe(wavs[0])
+    assert (c, sr, n) == (1, 8000, 6 * 128)  # chunks x length/num_splits
