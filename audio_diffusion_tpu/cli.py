@@ -443,6 +443,36 @@ def _cmd_sample(args) -> None:
     elif args.embedding_scale is not None:
         raise SystemExit("--embedding-scale needs --embedding")
 
+    if args.inpaint is not None:
+        # RePaint inpainting (reference README.md:182-204 usage): the
+        # samples inside --mask-start/--mask-end are regenerated, the
+        # rest is kept and harmonized via --resamples.
+        from .diffusion import VInpainter
+
+        src = wav_read(args.inpaint)
+        a, b = args.mask_start, args.mask_end
+        if a is None or b is None:
+            raise SystemExit("--inpaint needs --mask-start and --mask-end")
+        if not 0 <= a < b <= src.shape[-1]:
+            raise SystemExit(
+                f"--mask-start/--mask-end must satisfy 0 <= start < end "
+                f"<= {src.shape[-1]} (the input length); got {a}:{b}")
+        mask = np.ones(src.shape, bool)
+        mask[..., a:b] = False  # True = keep; the gap is regenerated
+        inpainter = VInpainter(net=model.net,
+                               schedule=getattr(model.sampler, "schedule",
+                                                None))
+        audio = np.asarray(inpainter.sample(
+            model.params["net"], jax.random.key(args.seed),
+            jnp.asarray(src)[None], jnp.asarray(mask)[None],
+            num_steps=args.steps, num_resamples=args.resamples, **cond))
+        dest = out / f"inpainted_{Path(args.inpaint).stem}.wav"
+        wav_write(dest, audio[0], sample_rate)
+        print(f"wrote {dest} (regenerated [{a}:{b}) of {src.shape[-1]} "
+              f"frames, {args.steps}-step RePaint x{args.resamples}, "
+              f"{sample_rate} Hz)")
+        return
+
     if args.total_length is not None and args.total_length > args.length:
         # Long-form: chain RePaint-outpainted windows past the training
         # crop (longform.generate_long). One key drives the whole batch,
@@ -829,6 +859,15 @@ def main(argv=None) -> None:
     s.add_argument("--chunks", type=int, default=8,
                    help="ar task: number of generated chunks "
                         "(output length = chunks x length/num_splits)")
+    s.add_argument("--inpaint", default=None,
+                   help="WAV to inpaint: frames in "
+                        "[--mask-start, --mask-end) are regenerated "
+                        "(RePaint), the rest kept; --resamples controls "
+                        "seam harmonization")
+    s.add_argument("--mask-start", type=int, default=None,
+                   help="first frame to regenerate (with --inpaint)")
+    s.add_argument("--mask-end", type=int, default=None,
+                   help="one past the last frame to regenerate")
     s.set_defaults(fn=_cmd_sample)
 
     d = sub.add_parser(

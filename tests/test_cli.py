@@ -481,3 +481,33 @@ def test_cli_ar_task(tiny_setup):
     assert len(wavs) == 2
     c, sr, n = wav_probe(wavs[0])
     assert (c, sr, n) == (1, 8000, 6 * 128)  # chunks x length/num_splits
+
+
+def test_cli_inpaint(tiny_setup):
+    """--inpaint regenerates only the masked window: outside it the
+    output equals the source bit-for-bit (after PCM16 quantization)."""
+    data, cfg, tmp = tiny_setup
+    run = tmp / "run_inp"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(run), "--steps", "2", "--batch", "2",
+          "--crop", "512", "--log-every", "2", "--checkpoint-every", "9"])
+
+    out = tmp / "inp_out"
+    main(["sample", "--model", str(run / "model"), "--out", str(out),
+          "--steps", "2", "--length", "512",
+          "--inpaint", str(data / "0.wav"),
+          "--mask-start", "128", "--mask-end", "384", "--resamples", "1"])
+    from audio_diffusion_tpu.data import wav_read
+
+    got = wav_read(out / "inpainted_0.wav")
+    src = wav_read(data / "0.wav")
+    assert got.shape == src.shape
+    # Kept region: identical up to the writer's PCM16 quantization of the
+    # same values (source was PCM16, so bit-equal).
+    np.testing.assert_array_equal(got[..., :128], src[..., :128])
+    np.testing.assert_array_equal(got[..., 384:], src[..., 384:])
+    assert not np.array_equal(got[..., 128:384], src[..., 128:384])
+
+    with pytest.raises(SystemExit, match="mask-start"):
+        main(["sample", "--model", str(run / "model"), "--out", str(out),
+              "--steps", "2", "--inpaint", str(data / "0.wav")])
