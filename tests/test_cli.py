@@ -65,7 +65,7 @@ def test_cli_unknown_preset_errors(tmp_path):
               "--out", str(tmp_path)])
     # Python-API-only presets are rejected with guidance, not a TypeError.
     with pytest.raises(SystemExit, match="Python API"):
-        main(["sample", "--model", "x", "--preset", "AUTOENCODER_48K",
+        main(["sample", "--model", "x", "--preset", "TEXT_CONDITIONAL_48K",
               "--out", str(tmp_path)])
 
 
