@@ -127,6 +127,11 @@ def _build_model(cfg: Dict, sampler: str, task: str = "unconditional",
         # (the σ ladder); sampling is ARVSampler regardless of --sampler.
         from .models import DiffusionAR
 
+        if "_length" not in cfg:
+            raise SystemExit(
+                "ar configs need \"_length\" (and optionally "
+                "\"_num_splits\") — train records them in the run's "
+                "config.json; add them to a hand-written JSON")
         return DiffusionAR(net_t=UNetV0, length=cfg.pop("_length"),
                            num_splits=cfg.pop("_num_splits", 4), **cfg)
     assert task == "unconditional", task
@@ -347,6 +352,16 @@ def _cmd_sample(args) -> None:
     # The training data's rate (recorded by `train`) wins over the 48k
     # default even when the net config comes from --preset.
     cfg, task, sample_rate, upsample_factor = _load_run_config(args)
+    if task != "unconditional":
+        # Refuse, rather than silently ignore, unconditional-only flags.
+        bad = [f for f, v in [("--embedding", args.embedding),
+                              ("--inpaint", args.inpaint),
+                              ("--total-length", args.total_length)]
+               if v is not None]
+        if bad:
+            raise SystemExit(f"{', '.join(bad)} only appl"
+                             f"{'y' if len(bad) > 1 else 'ies'} to "
+                             f"unconditional models (this run is {task})")
     if args.in_channels is not None:
         cfg["in_channels"] = args.in_channels
     # AR models fix their own context window; init must match it.
@@ -447,8 +462,11 @@ def _cmd_sample(args) -> None:
         # RePaint inpainting (reference README.md:182-204 usage): the
         # samples inside --mask-start/--mask-end are regenerated, the
         # rest is kept and harmonized via --resamples.
-        from .diffusion import VInpainter
+        from .longform import make_inpainter
 
+        if args.num != 1:
+            raise SystemExit("--inpaint processes one file (--num 1); "
+                             "run per-seed invocations for variants")
         src = wav_read(args.inpaint)
         a, b = args.mask_start, args.mask_end
         if a is None or b is None:
@@ -459,9 +477,7 @@ def _cmd_sample(args) -> None:
                 f"<= {src.shape[-1]} (the input length); got {a}:{b}")
         mask = np.ones(src.shape, bool)
         mask[..., a:b] = False  # True = keep; the gap is regenerated
-        inpainter = VInpainter(net=model.net,
-                               schedule=getattr(model.sampler, "schedule",
-                                                None))
+        inpainter = make_inpainter(model)
         audio = np.asarray(inpainter.sample(
             model.params["net"], jax.random.key(args.seed),
             jnp.asarray(src)[None], jnp.asarray(mask)[None],
@@ -684,15 +700,22 @@ def _cmd_info(args) -> None:
         except RuntimeError:
             dev = jax.devices()[0]
         with jax.default_device(dev):
-            net_cfg = {k: v for k, v in recorded.items()
-                       if not k.startswith("_")}
+            # Keep the MODEL-shaping underscore keys (_encoder,
+            # _inject_depth, _length, _num_splits) — dropping them would
+            # rebuild a different model (wrong/missing encoder, AR
+            # KeyError) and report a wrong parameter count. Only the
+            # bookkeeping keys (_task/_sample_rate/...) are stripped.
+            drop = {"_task", "_sample_rate", "_upsample_factor", "_dtype"}
+            net_cfg = {k: v for k, v in recorded.items() if k not in drop}
             if dtype:
                 net_cfg["_dtype"] = dtype
             model = _build_model(net_cfg, "v", task,
                                  recorded.get("_upsample_factor"))
             c = cfg.get("in_channels", 2)
-            L = int(np.prod(cfg.get("factors", [1])) or 1)
-            model.initialize(jnp.zeros((1, c, max(L, 64))))
+            L = recorded.get("_length") or int(
+                np.prod(cfg.get("factors", [1])) or 1)
+            model.initialize(jnp.zeros((1, c, max(L, 64))),
+                             **_init_cond_kwargs(cfg))
             n = sum(int(np.prod(p.shape))
                     for p in jax.tree_util.tree_leaves(model.params))
             print(f"parameters: {n/1e6:.1f} M "

@@ -29,7 +29,16 @@ import jax.numpy as jnp
 
 from .diffusion import VInpainter
 
-__all__ = ["generate_long"]
+__all__ = ["generate_long", "make_inpainter"]
+
+
+def make_inpainter(model) -> VInpainter:
+    """An inpainter sharing the model's σ-schedule, so inpainted windows
+    denoise on the same trajectory family as ordinary samples. The single
+    construction point for every inpainting surface (long-form chaining
+    here, the CLI's --inpaint)."""
+    return VInpainter(net=model.net,
+                      schedule=getattr(model.sampler, "schedule", None))
 
 
 def generate_long(
@@ -71,26 +80,28 @@ def generate_long(
     chunks = [first]
     produced = window
 
-    # The inpainter shares the sampler's σ-schedule so windows denoise on
-    # the same trajectory family as the first one.
-    inpainter = VInpainter(net=model.net,
-                           schedule=getattr(model.sampler, "schedule",
-                                            None))
+    inpainter = make_inpainter(model)
     # Known region: the leading `overlap` samples (the previous tail).
     mask = jnp.zeros((batch_size, c, window), bool).at[..., :overlap].set(
         True)
     net_params = p["net"] if isinstance(p, dict) and "net" in p else p
     # One compiled program for every continuation window (fixed shapes;
     # num_steps/num_resamples are Python constants of the partial).
+    # Scalar conditioning (e.g. CFG embedding_scale) must be STATIC too —
+    # the CFG wrapper branches on it in Python, so tracing it would crash;
+    # only arrays (embeddings, context channels) are traced arguments.
+    static = {k: v for k, v in cond.items()
+              if not (hasattr(v, "shape") and getattr(v, "ndim", 0) > 0)}
+    arrays = {k: v for k, v in cond.items() if k not in static}
     inpaint = jax.jit(partial(inpainter.sample, num_steps=num_steps,
-                              num_resamples=num_resamples))
+                              num_resamples=num_resamples, **static))
 
     while produced < length:
         tail = chunks[-1][..., -overlap:]
         source = jnp.concatenate(
             [tail, jnp.zeros((batch_size, c, stride), tail.dtype)], -1)
         key, kw = jax.random.split(key)
-        out = inpaint(net_params, kw, source=source, mask=mask, **cond)
+        out = inpaint(net_params, kw, source=source, mask=mask, **arrays)
         chunks.append(out[..., overlap:])  # keep only the new content
         produced += stride
 

@@ -43,6 +43,9 @@ class DiffusionAE(DiffusionModel):
         adapter: Optional[AdapterBase] = None,
         **kwargs,
     ):
+        assert 0 <= inject_depth < len(channels), (
+            f"inject_depth={inject_depth} out of range for a "
+            f"{len(channels)}-level net (0..{len(channels) - 1})")
         context_channels = [0] * len(channels)
         context_channels[inject_depth] = encoder.out_channels
         super().__init__(

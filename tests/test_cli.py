@@ -511,3 +511,72 @@ def test_cli_inpaint(tiny_setup):
     with pytest.raises(SystemExit, match="mask-start"):
         main(["sample", "--model", str(run / "model"), "--out", str(out),
               "--steps", "2", "--inpaint", str(data / "0.wav")])
+
+
+def test_cli_longform_with_cfg_embedding(tmp_path):
+    """--total-length + --embedding + --embedding-scale: CFG scalars must
+    stay STATIC through longform's jitted inpainter (regression: tracing
+    the scale crashed the CFG wrapper's Python branch)."""
+    import jax.numpy as jnp
+
+    from audio_diffusion_tpu.cli import _build_model
+
+    cfg = dict(in_channels=1, channels=[8, 32], factors=[1, 4],
+               items=[1, 1], cross_attentions=[0, 1], attention_heads=2,
+               attention_features=8, modulation_features=32,
+               use_embedding_cfg=True, embedding_max_length=8,
+               embedding_features=16)
+    run = tmp_path / "run_lf"
+    run.mkdir()
+    model = _build_model(dict(cfg, _dtype="f32"), "v", "unconditional")
+    model.initialize(jnp.zeros((1, 1, 256)),
+                     embedding=jnp.zeros((1, 8, 16)))
+    model.save(run / "model")
+    (run / "config.json").write_text(json.dumps(
+        {**cfg, "_dtype": "f32", "_sample_rate": 8000,
+         "_task": "unconditional"}))
+    np.save(tmp_path / "emb.npy",
+            np.zeros((8, 16), np.float32))
+    out = tmp_path / "lf_out"
+    main(["sample", "--model", str(run / "model"), "--out", str(out),
+          "--num", "1", "--steps", "2", "--length", "256",
+          "--total-length", "600", "--overlap", "64", "--resamples", "1",
+          "--embedding", str(tmp_path / "emb.npy"),
+          "--embedding-scale", "2.0"])
+    from audio_diffusion_tpu.data import wav_probe
+
+    assert wav_probe(out / "long_0_0.wav")[2] == 600
+
+
+def test_cli_task_flag_guards_and_info_params(tiny_setup, capsys):
+    """Unconditional-only flags are refused (not ignored) for task runs,
+    and info --params rebuilds task models from their recorded configs."""
+    data, cfg, tmp = tiny_setup
+    run = tmp / "run_ar2"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(run), "--steps", "1", "--batch", "2",
+          "--crop", "512", "--task", "ar", "--log-every", "1",
+          "--checkpoint-every", "5"])
+    with pytest.raises(SystemExit, match="only applies to unconditional"):
+        main(["sample", "--model", str(run / "model"), "--out", str(tmp),
+              "--inpaint", str(data / "0.wav")])
+    # info --params must keep _length (regression: KeyError '_length').
+    main(["info", "--run", str(run), "--params"])
+    assert "parameters:" in capsys.readouterr().out
+
+    ae_cfg = tmp / "ae2.json"
+    ae_cfg.write_text(json.dumps(dict(
+        in_channels=1, channels=[8, 16, 32], factors=[1, 4, 8],
+        items=[1, 1, 1], modulation_features=32,
+        _task="autoencoder", _inject_depth=2,
+        _encoder=dict(channels=16, out_channels=4, factors=[2],
+                      num_blocks=[1], mel_channels=16, mel_n_fft=64))))
+    run2 = tmp / "run_ae2"
+    main(["train", "--data", str(data), "--preset", str(ae_cfg),
+          "--out", str(run2), "--steps", "1", "--batch", "2",
+          "--crop", "1024", "--log-every", "1", "--checkpoint-every", "5"])
+    # info --params must rebuild the RECORDED encoder (regression:
+    # underscore keys were stripped -> default 512-wide encoder at
+    # inject_depth 6 -> IndexError on a 3-level net).
+    main(["info", "--run", str(run2), "--params"])
+    assert "parameters:" in capsys.readouterr().out
