@@ -175,7 +175,21 @@ def _cmd_train(args) -> None:
     from .train import Trainer, TrainerConfig
 
     mesh = create_mesh()
-    ds = _load_dataset(args, mesh)
+    if args.embedding_dir is not None:
+        # Paired precomputed embeddings (text-conditional training without
+        # a local T5): one DIR/<wav stem>.npy per corpus file; each crop's
+        # embedding rides the batch as an (x, cond) tuple. Host data path
+        # (the embedding table is indexed per-crop on the host).
+        from .data import AudioDataset
+
+        ds = AudioDataset(args.data, crop_frames=args.crop,
+                          batch_size=args.batch, seed=args.seed,
+                          return_indices=True)
+        print(f"dataset: {len(ds.files)} files, {ds.channels} ch @ "
+              f"{ds.sample_rate} Hz, crop {args.crop}, paired embeddings "
+              f"from {args.embedding_dir}")
+    else:
+        ds = _load_dataset(args, mesh)
     cfg, task = _resolve_config(args.preset)
     if args.task is not None:
         task = args.task
@@ -194,7 +208,8 @@ def _cmd_train(args) -> None:
         cfg.setdefault("_num_splits", args.num_splits)
     cfg.setdefault("_dtype", args.dtype)
     model = _build_model(dict(cfg), "v", task, args.upsample_factor)
-    model.initialize(jnp.zeros((1, ds.channels, args.crop)))
+    model.initialize(jnp.zeros((1, ds.channels, args.crop)),
+                     **_init_cond_kwargs(cfg))
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -220,7 +235,32 @@ def _cmd_train(args) -> None:
         # remainder instead of re-running the full count.
         remaining = max(args.steps - resumed, 0)
         print(f"resumed from step {resumed}; {remaining} steps remain")
-    trainer.fit(iter(ds), num_steps=remaining)
+    feed = iter(ds)
+    fit_cond: Dict = {}
+    if args.embedding_dir is not None:
+        import numpy as np
+
+        emb_dir = Path(args.embedding_dir)
+        missing = [f.stem for f in ds.files
+                   if not (emb_dir / f"{f.stem}.npy").exists()]
+        if missing:
+            raise SystemExit(
+                f"--embedding-dir is missing .npy for: "
+                f"{', '.join(missing[:5])}"
+                + (f" (+{len(missing) - 5} more)"
+                   if len(missing) > 5 else ""))
+        table = np.stack([np.load(emb_dir / f"{f.stem}.npy").astype(
+            np.float32) for f in ds.files])
+
+        def paired(base):
+            for x, idx in base:
+                yield x, {"embedding": table[idx]}
+
+        feed = paired(feed)
+        # CFG training: drop the embedding at this rate so the null
+        # branch learns (reference README.md:70 embedding_mask_proba).
+        fit_cond["embedding_mask_proba"] = args.embedding_mask_proba
+    trainer.fit(feed, num_steps=remaining, **fit_cond)
     if args.ema_decay is not None:
         # Export the EMA weights (sampling quality) as the saved model.
         model.params = trainer.ema_params
@@ -831,6 +871,14 @@ def main(argv=None) -> None:
     t.add_argument("--num-splits", type=int, default=4,
                    help="ar task: σ-ladder splits of the --crop context "
                         "window")
+    t.add_argument("--embedding-dir", default=None,
+                   help="directory of per-file .npy embeddings "
+                        "(<wav stem>.npy, [tokens, features]): trains a "
+                        "cross-attention model on precomputed text/CLAP "
+                        "embeddings — no local T5 needed")
+    t.add_argument("--embedding-mask-proba", type=float, default=0.1,
+                   help="CFG embedding-dropout rate during "
+                        "--embedding-dir training")
     t.add_argument("--dtype", choices=("bf16", "f32"), default="bf16",
                    help="compute dtype (master params stay f32); bf16 is "
                         "the TPU production setting")

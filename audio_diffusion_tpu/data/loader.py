@@ -199,6 +199,7 @@ class AudioDataset:
         host_id: Optional[int] = None,
         num_hosts: Optional[int] = None,
         dtype: str = "auto",
+        return_indices: bool = False,
     ):
         """host_id/num_hosts: multi-host sharding — each host reads a
         disjoint stride of the file list (defaults to jax.process_index/
@@ -237,6 +238,7 @@ class AudioDataset:
 
         self.crop_frames = crop_frames
         self.batch_size = batch_size
+        self.return_indices = return_indices
         self._rng = np.random.default_rng(seed)
         self._prefetch = prefetch
 
@@ -313,7 +315,7 @@ class AudioDataset:
                 f"no usable files (need ≥{crop_frames} frames, "
                 f"{self.channels} channels)")
 
-    def _make_batch(self, rng: np.random.Generator) -> np.ndarray:
+    def _make_batch(self, rng: np.random.Generator):
         lib = _load_lib()
         b, c, t = self.batch_size, self.channels, self.crop_frames
         idx = rng.integers(0, len(self.files), b)
@@ -333,7 +335,11 @@ class AudioDataset:
                 b, c, t, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         if err != 0:
             raise IOError(f"wav_read_batch failed with code {err}")
-        return out
+        # return_indices: yield (batch, file_indices) so callers can pair
+        # per-FILE metadata with each crop — e.g. a precomputed text-
+        # embedding table indexed by file (text-conditional training
+        # without a local T5: Trainer.fit accepts (x, cond) batches).
+        return (out, idx.astype(np.int64)) if self.return_indices else out
 
     def __iter__(self) -> Iterator[np.ndarray]:
         q: "queue.Queue" = queue.Queue(maxsize=self._prefetch)

@@ -226,6 +226,11 @@ class Trainer:
                     batch = next(it)
                 elif k > 1:
                     items = [next(it) for _ in range(kk)]
+                    if isinstance(items[0], tuple):
+                        raise ValueError(
+                            "per-batch conditioning ((x, cond) batches) "
+                            "requires steps_per_call=1 — the K-step scan "
+                            "passes one cond to every scanned step")
                     if isinstance(items[0], jax.Array):
                         # Device-resident batches (data.DeviceCorpus):
                         # stack ON DEVICE — np.stack would download and
@@ -238,16 +243,24 @@ class Trainer:
                 else:
                     batch = next(it)
 
+                # Per-batch conditioning: iterators may yield
+                # (x, {"embedding": ...}) tuples — e.g. a paired-embedding
+                # text-conditional corpus; merged over the fixed **cond.
+                step_cond = cond
+                if isinstance(batch, tuple):
+                    batch, batch_cond = batch
+                    step_cond = {**cond, **batch_cond}
+
                 if (cfg.profile_dir is not None
                         and step == cfg.profile_start_step):
                     jax.profiler.start_trace(cfg.profile_dir)
                     profiling = True
                 if kk == 1 and k > 1:
                     self.state, metrics = self._tail_step(
-                        self.state, batch, **cond)
+                        self.state, batch, **step_cond)
                 else:
                     self.state, metrics = self.train_step(
-                        self.state, batch, **cond)
+                        self.state, batch, **step_cond)
                 if kk > 1:
                     # Stacked [K] metrics: keep the last step's values
                     # (device-lazy; only fetched at log time).

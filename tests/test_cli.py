@@ -580,3 +580,41 @@ def test_cli_task_flag_guards_and_info_params(tiny_setup, capsys):
     # inject_depth 6 -> IndexError on a 3-level net).
     main(["info", "--run", str(run2), "--params"])
     assert "parameters:" in capsys.readouterr().out
+
+
+def test_cli_train_with_embedding_dir(tiny_setup):
+    """Text-conditional TRAINING without T5: per-file .npy embeddings pair
+    with crops via (x, cond) batches; the trained model then samples from
+    the CLI with --embedding."""
+    data, _, tmp = tiny_setup
+    emb_dir = tmp / "embs"
+    emb_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):  # one embedding per corpus file stem
+        np.save(emb_dir / f"{i}.npy",
+                rng.standard_normal((8, 16)).astype(np.float32))
+    cfg = tmp / "txt.json"
+    cfg.write_text(json.dumps(dict(
+        in_channels=1, channels=[8, 32], factors=[1, 4], items=[1, 1],
+        cross_attentions=[0, 1], attention_heads=2, attention_features=8,
+        modulation_features=32, use_embedding_cfg=True,
+        embedding_max_length=8, embedding_features=16)))
+    run = tmp / "run_txttrain"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(run), "--steps", "2", "--batch", "2",
+          "--crop", "512", "--log-every", "2", "--checkpoint-every", "9",
+          "--embedding-dir", str(emb_dir)])
+    assert (run / "model").exists()
+
+    out = tmp / "txttrain_samples"
+    main(["sample", "--model", str(run / "model"), "--out", str(out),
+          "--num", "1", "--steps", "2", "--length", "512",
+          "--embedding", str(emb_dir / "0.npy"),
+          "--embedding-scale", "2.0"])
+    assert len(list(out.glob("*.wav"))) == 1
+
+    with pytest.raises(SystemExit, match="missing .npy"):
+        main(["train", "--data", str(data), "--preset", str(cfg),
+              "--out", str(tmp / "run_missing"), "--steps", "1",
+              "--batch", "2", "--crop", "512",
+              "--embedding-dir", str(tmp)])  # wrong dir: no stems
