@@ -37,9 +37,16 @@ Mechanics that matter on TPU/XLA:
 - Scales are per-output-channel (last axis), symmetric, int8 in [-127,127]
   — the standard weight-quant recipe; zero-initialized leaves (modulation
   Dense kernels) quantize to exact zeros.
+- ``bits=4`` packs two signed nibbles (values in [-7,7]) per int8 byte —
+  4× weight capacity vs bf16 (flagship: 733 → ~186 MB). Pairs are packed
+  along the flattened *input* axes so per-output-channel scales are
+  untouched; unpacking is two shifts inside the scan body. Int8 measured
+  1.3% relative waveform error on the flagship; int4 is coarser — measure
+  per model (see PERFORMANCE.md round-3 quantization) before serving it.
 """
 from __future__ import annotations
 
+from math import prod
 from typing import Any, Dict, Optional
 
 import jax
@@ -60,45 +67,84 @@ class QTensor:
     """A quantized weight: int8 values + per-output-channel f32 scales.
 
     ``orig_dtype`` (aux data, static) records the dtype the dequantized
-    leaf should restore to when no compute dtype is given.
+    leaf should restore to when no compute dtype is given. ``bits`` is 8
+    (one value per byte) or 4 (two signed nibbles per byte, packed along
+    the flattened input axes); for 4-bit leaves ``orig_shape`` records the
+    pre-packing weight shape the dequantizer must restore.
     """
 
-    __slots__ = ("q", "qscale", "orig_dtype")
+    __slots__ = ("q", "qscale", "orig_dtype", "bits", "orig_shape")
 
-    def __init__(self, q: Array, qscale: Array, orig_dtype: str = "float32"):
+    def __init__(self, q: Array, qscale: Array, orig_dtype: str = "float32",
+                 bits: int = 8, orig_shape=None):
         self.q = q
         self.qscale = qscale
         self.orig_dtype = orig_dtype
+        self.bits = bits
+        self.orig_shape = tuple(orig_shape) if orig_shape is not None else None
 
     def tree_flatten_with_keys(self):
         return (
             (jax.tree_util.GetAttrKey("q"), self.q),
             (jax.tree_util.GetAttrKey("qscale"), self.qscale),
-        ), self.orig_dtype
+        ), (self.orig_dtype, self.bits, self.orig_shape)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux)
+        if isinstance(aux, str):  # pre-int4 aux format (round-3 artifacts)
+            aux = (aux, 8, None)
+        return cls(children[0], children[1], *aux)
 
     @property
     def shape(self):
-        return self.q.shape
+        return self.orig_shape if self.orig_shape is not None else self.q.shape
 
     def __repr__(self):
-        return f"QTensor(shape={tuple(self.q.shape)}, {self.orig_dtype})"
+        return (f"QTensor(shape={tuple(self.shape)}, int{self.bits}, "
+                f"{self.orig_dtype})")
 
 
 def _is_q(x: Any) -> bool:
     return isinstance(x, QTensor)
 
 
-def quantize_leaf(w: Array) -> QTensor:
-    """Symmetric per-output-channel (last axis) int8 quantization."""
+def quantize_leaf(w: Array, bits: int = 8) -> QTensor:
+    """Symmetric per-output-channel (last axis) int8/int4 quantization.
+
+    ``bits=4`` packs value pairs along the flattened leading (input) axes:
+    byte ``b`` holds row ``2i`` in its low nibble and row ``2i+1`` in its
+    high nibble (both signed, range [-7, 7]); an odd row count is padded
+    with a zero row that dequantization drops.
+    """
+    assert bits in (8, 4), bits
+    qmax = 127 if bits == 8 else 7
     amax = jnp.max(jnp.abs(w.astype(jnp.float32)),
                    axis=tuple(range(w.ndim - 1)), keepdims=True)
-    scale = jnp.maximum(amax, 1e-12) / 127.0
-    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127)
-    return QTensor(q.astype(jnp.int8), scale, str(w.dtype))
+    scale = jnp.maximum(amax, 1e-12) / qmax
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale),
+                 -qmax, qmax).astype(jnp.int8)
+    if bits == 8:
+        return QTensor(q, scale, str(w.dtype))
+    n = w.shape[-1]
+    m = int(prod(w.shape[:-1]))
+    q2 = q.reshape(m, n)
+    if m % 2:
+        q2 = jnp.concatenate([q2, jnp.zeros((1, n), jnp.int8)], axis=0)
+    low, high = q2[0::2], q2[1::2]
+    packed = jnp.bitwise_or(jnp.left_shift(high, 4),
+                            jnp.bitwise_and(low, 0x0F)).astype(jnp.int8)
+    return QTensor(packed, scale, str(w.dtype), bits=4, orig_shape=w.shape)
+
+
+def _unpack_int4(qt: QTensor) -> Array:
+    """Packed (ceil(M/2), N) int8 → (orig_shape) int8 nibble values."""
+    p = qt.q
+    low = jnp.right_shift(jnp.left_shift(p, 4), 4)  # arithmetic: sign-extend
+    high = jnp.right_shift(p, 4)
+    n = p.shape[-1]
+    rows = jnp.stack([low, high], axis=1).reshape(-1, n)
+    m = int(prod(qt.orig_shape[:-1]))
+    return rows[:m].reshape(qt.orig_shape)
 
 
 def dequantize_leaf(qt: QTensor, dtype=None, wiggle: Optional[Array] = None
@@ -108,22 +154,25 @@ def dequantize_leaf(qt: QTensor, dtype=None, wiggle: Optional[Array] = None
     dequant inside a loop body (see module docstring)."""
     dt = jnp.dtype(dtype) if dtype is not None else jnp.dtype(qt.orig_dtype)
     s = qt.qscale if wiggle is None else qt.qscale + wiggle
+    q = qt.q if qt.bits == 8 else _unpack_int4(qt)
     # Keep everything at the compute width: a f32 intermediate would double
     # the bytes XLA has to move if the dequant fails to fuse.
-    return qt.q.astype(dt) * s.astype(dt)
+    return q.astype(dt) * s.astype(dt)
 
 
-def quantize_params(params: Dict, min_size: int = 65536) -> Dict:
+def quantize_params(params: Dict, min_size: int = 65536,
+                    bits: int = 8) -> Dict:
     """Return a NEW tree where every float leaf with ndim >= 2 and at least
     ``min_size`` elements is replaced by a :class:`QTensor`. On the
     flagship this covers 99.7% of the weight bytes (conv kernels, attention
     QKV/out/FF, modulation and skip gates, resampling projections); biases,
-    norm scales, and embeddings stay exact."""
+    norm scales, and embeddings stay exact. ``bits=4`` stores two values
+    per byte (4× capacity; coarser — measure quality per model)."""
 
     def f(w):
         if (hasattr(w, "ndim") and w.ndim >= 2 and w.size >= min_size
                 and jnp.issubdtype(w.dtype, jnp.floating)):
-            return quantize_leaf(w)
+            return quantize_leaf(w, bits=bits)
         return w
 
     return jax.tree.map(f, params)
