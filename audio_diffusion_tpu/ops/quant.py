@@ -40,7 +40,9 @@ Mechanics that matter on TPU/XLA:
 - ``bits=4`` packs two signed nibbles (values in [-7,7]) per int8 byte —
   4× weight capacity vs bf16 (flagship: 733 → ~186 MB). Pairs are packed
   along the flattened *input* axes so per-output-channel scales are
-  untouched; unpacking is two shifts inside the scan body. Int8 measured
+  untouched; unpacking is two arithmetic shifts plus an interleave
+  (stack/reshape) inside the scan body — measure on device that the
+  relayout fuses before relying on the bytes win. Int8 measured
   1.3% relative waveform error on the flagship; int4 is coarser — measure
   per model (see PERFORMANCE.md round-3 quantization) before serving it.
 """
@@ -77,6 +79,11 @@ class QTensor:
 
     def __init__(self, q: Array, qscale: Array, orig_dtype: str = "float32",
                  bits: int = 8, orig_shape=None):
+        if bits == 4 and orig_shape is None:
+            raise ValueError(
+                "QTensor(bits=4) requires orig_shape: int4 storage is packed "
+                "(two rows per byte) and the pre-packing shape cannot be "
+                "recovered from the packed array alone")
         self.q = q
         self.qscale = qscale
         self.orig_dtype = orig_dtype
@@ -97,7 +104,17 @@ class QTensor:
 
     @property
     def shape(self):
+        """LOGICAL (pre-packing) weight shape — what the dequantized array
+        will have. For int4 leaves this is ~2x the PHYSICAL storage shape
+        (two rows per byte); compute storage bytes from :attr:`packed_shape`
+        (= ``self.q.shape``), never from this property."""
         return self.orig_shape if self.orig_shape is not None else self.q.shape
+
+    @property
+    def packed_shape(self):
+        """PHYSICAL storage shape of the int8 backing array (use for byte
+        accounting; equals :attr:`shape` for int8 leaves)."""
+        return self.q.shape
 
     def __repr__(self):
         return (f"QTensor(shape={tuple(self.shape)}, int{self.bits}, "
@@ -116,7 +133,8 @@ def quantize_leaf(w: Array, bits: int = 8) -> QTensor:
     high nibble (both signed, range [-7, 7]); an odd row count is padded
     with a zero row that dequantization drops.
     """
-    assert bits in (8, 4), bits
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
     qmax = 127 if bits == 8 else 7
     amax = jnp.max(jnp.abs(w.astype(jnp.float32)),
                    axis=tuple(range(w.ndim - 1)), keepdims=True)

@@ -120,3 +120,29 @@ def test_int4_roundtrips_through_flatten():
     leaves, treedef = jax.tree.flatten({"w": qt})
     back = jax.tree.unflatten(treedef, leaves)["w"]
     assert back.bits == 4 and back.orig_shape == (64, 32)
+
+
+def test_unsupported_bits_raises():
+    """bits outside {8, 4} must fail loudly (a ValueError, not an assert
+    that -O strips into silent wrong-qmax packing)."""
+    import pytest
+    for bad in (3, 5, 16, 2):
+        with pytest.raises(ValueError, match="bits"):
+            quantize_leaf(jnp.ones((8, 8)), bits=bad)
+
+
+def test_int4_without_orig_shape_rejected_at_construction():
+    """A hand-built bits=4 QTensor with no orig_shape cannot be unpacked;
+    construction (not a later opaque unpack TypeError) must reject it."""
+    import pytest
+    with pytest.raises(ValueError, match="orig_shape"):
+        QTensor(jnp.ones((4, 4), jnp.int8), jnp.ones((1, 4)), bits=4)
+
+
+def test_packed_shape_vs_logical_shape():
+    """.shape is the logical pre-packed shape; .packed_shape is the physical
+    int8 storage shape — byte accounting must use the latter."""
+    qt4 = quantize_leaf(jnp.ones((64, 32)), bits=4)
+    assert qt4.shape == (64, 32) and qt4.packed_shape == (32, 32)
+    qt8 = quantize_leaf(jnp.ones((64, 32)), bits=8)
+    assert qt8.shape == qt8.packed_shape == (64, 32)
