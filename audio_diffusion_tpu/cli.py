@@ -104,6 +104,7 @@ def _build_model(cfg: Dict, sampler: str, task: str = "unconditional",
     if dtype is not None:
         cfg["dtype"] = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
                         "f32": None, "float32": None}[dtype]
+    cfg.pop("_init_from", None)  # provenance record, not model geometry
     sampler_t = {"v": VSampler, "dpm": DPMSampler}[sampler]
     if task == "upsampler":
         return DiffusionUpsampler(
@@ -219,6 +220,16 @@ def _cmd_train(args) -> None:
     if task == "upsampler":
         recorded["_upsample_factor"] = args.upsample_factor or 16
     (out / "config.json").write_text(json.dumps(recorded, indent=1))
+    if args.init_from is not None:
+        # Warm start (continuation / fine-tuning): load exported params
+        # into the freshly built model BEFORE the trainer snapshots its
+        # initial state. The step counter and optimizer start fresh —
+        # resume-from-checkpoint (below) is the path that preserves them,
+        # and it takes precedence if this run dir already has checkpoints.
+        model.load(args.init_from)
+        recorded["_init_from"] = str(args.init_from)
+        (out / "config.json").write_text(json.dumps(recorded, indent=1))
+        print(f"warm start: params loaded from {args.init_from}")
     trainer = Trainer(model, TrainerConfig(
         learning_rate=args.lr, ema_decay=args.ema_decay,
         lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
@@ -745,7 +756,8 @@ def _cmd_info(args) -> None:
             # rebuild a different model (wrong/missing encoder, AR
             # KeyError) and report a wrong parameter count. Only the
             # bookkeeping keys (_task/_sample_rate/...) are stripped.
-            drop = {"_task", "_sample_rate", "_upsample_factor", "_dtype"}
+            drop = {"_task", "_sample_rate", "_upsample_factor", "_dtype",
+                    "_init_from"}
             net_cfg = {k: v for k, v in recorded.items() if k not in drop}
             if dtype:
                 net_cfg["_dtype"] = dtype
@@ -852,6 +864,11 @@ def main(argv=None) -> None:
                    help="optimizer steps scanned per device call (uploads "
                         "that many stacked batches at once; amortizes "
                         "per-step dispatch/RTT on remote-attached TPUs)")
+    t.add_argument("--init-from", default=None, metavar="PARAMS_DIR",
+                   help="warm-start params from an exported model dir "
+                        "(continuation / fine-tuning; optimizer and step "
+                        "counter start fresh — existing checkpoints in "
+                        "--out still take precedence)")
     t.add_argument("--checkpoint-every", type=int, default=1000)
     t.add_argument("--log-every", type=int, default=50)
     t.add_argument("--seed", type=int, default=0)

@@ -59,6 +59,48 @@ def test_cli_train_then_sample(tiny_setup):
     assert (c, sr, n) == (1, 8000, 512)
 
 
+def test_cli_train_init_from_warm_start(tiny_setup):
+    """--init-from loads exported params into a NEW run (continuation /
+    fine-tuning): the warm-started run's initial params equal the source
+    run's export, and provenance lands in config.json."""
+    import jax.numpy as jnp
+    import jax
+
+    data, cfg, tmp = tiny_setup
+    src = tmp / "src"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(src), "--steps", "2", "--batch", "2",
+          "--crop", "512", "--log-every", "2", "--checkpoint-every", "100"])
+    cont = tmp / "cont"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(cont), "--steps", "0", "--batch", "2",
+          "--crop", "512", "--init-from", str(src / "model"),
+          "--checkpoint-every", "100"])
+    assert json.loads((cont / "config.json").read_text())["_init_from"] \
+        == str(src / "model")
+    # 0 further steps: the continuation's export equals the source export.
+    from audio_diffusion_tpu import DiffusionModel, UNetV0
+
+    kw = json.loads(cfg.read_text())
+    a = DiffusionModel(net_t=UNetV0, **kw)
+    a.initialize(jnp.zeros((1, 1, 512)))
+    a.load(src / "model")
+    b = DiffusionModel(net_t=UNetV0, **kw)
+    b.initialize(jnp.zeros((1, 1, 512)))
+    b.load(cont / "model")
+    flat_a = jax.tree_util.tree_leaves(a.params)
+    flat_b = jax.tree_util.tree_leaves(b.params)
+    assert all(bool(jnp.array_equal(x, y))
+               for x, y in zip(flat_a, flat_b))
+    # sample/info rebuild from config.json: the _init_from provenance key
+    # must not leak into model kwargs (regression: TypeError in UNetV0).
+    out = tmp / "warm_samples"
+    main(["sample", "--model", str(cont / "model"), "--out", str(out),
+          "--num", "1", "--steps", "2", "--length", "512"])
+    assert len(list(out.glob("*.wav"))) == 1
+    main(["info", "--run", str(cont)])
+
+
 def test_cli_unknown_preset_errors(tmp_path):
     with pytest.raises(SystemExit, match="unknown preset"):
         main(["sample", "--model", "x", "--preset", "NOPE",
