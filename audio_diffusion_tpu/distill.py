@@ -36,8 +36,10 @@ from jax.sharding import Mesh
 
 from .diffusion.core import alpha_beta, pad_dims
 from .parallel import make_train_step
+from .utils import dequant_pcm16, split_static_kwargs
 
-__all__ = ["make_distill_loss", "ProgressiveDistiller"]
+__all__ = ["make_distill_loss", "make_teacher_targets",
+           "ProgressiveDistiller"]
 
 
 def _two_step_target(net, teacher_params: Dict, x_t: Array, sig_t: Array,
@@ -63,6 +65,75 @@ def _two_step_target(net, teacher_params: Dict, x_t: Array, sig_t: Array,
     x0 = (b_t * z_end - b_e * x_t) / denom
     eps = (x_t - a_t * x0) / b_t   # b_t >= sin(pi/(2N)) > 0 (t >= 1)
     return a_t * eps - b_t * x0
+
+
+def make_teacher_targets(net, num_student_steps: int,
+                         mesh: Optional[Mesh] = None):
+    """Jitted teacher-target program: ``targets(teacher_params, key, x,
+    **cond) -> (x_t, sig_t, v_target)``.
+
+    This is the inference half of the distillation objective, compiled
+    SEPARATELY from the student's train step. The fused alternative (one
+    program containing two teacher forwards + the student forward +
+    backward + adam) is ~4 flagship U-Net bodies in a single XLA program
+    — measured to crash the remote compile service at flagship scale
+    (rounds 3-4), while each half here is no larger than programs that
+    compile routinely (2-step sampling; the ordinary train step). The
+    split also lets XLA treat the teacher pass as pure inference (no
+    saved residuals), and the targets stream device-to-device into the
+    student step with no host round-trip.
+
+    Draws the same (t, eps) randomness from ``key`` as
+    :func:`make_distill_loss` does, so for identical keys the split
+    pipeline's loss equals the fused loss (regression-tested).
+    """
+
+    def targets(teacher_params: Dict, key: Array, x: Array, **cond):
+        x = dequant_pcm16(x)  # int16 device-corpus batches decode in-graph
+        b = x.shape[0]
+        k_t, k_eps = jax.random.split(key)
+        t = jax.random.randint(k_t, (b,), 1, num_student_steps + 1)
+        sig_t = t.astype(jnp.float32) / num_student_steps
+        a_t, b_t = alpha_beta(pad_dims(sig_t, x.ndim - 1))
+        eps = jax.random.normal(k_eps, x.shape, x.dtype)
+        x_t = a_t * x + b_t * eps
+        v_target = _two_step_target(net, teacher_params, x_t, sig_t,
+                                    num_student_steps, **cond)
+        return x_t, sig_t, v_target
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .ops.net import contains_array
+
+        def constrain(a):
+            return jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, P("data", *([None] * (a.ndim - 1)))))
+
+        inner = targets
+
+        def targets(teacher_params, key, x, **cond):  # noqa: F811
+            arrays = {k: jax.tree_util.tree_map(constrain, v)
+                      for k, v in cond.items() if contains_array(v)}
+            return inner(teacher_params, key, constrain(x),
+                         **{**cond, **arrays})
+
+    # Same traced-vs-static conditioning contract as make_train_step:
+    # scalar kwargs select program structure, arrays are traced.
+    jit_cache = {}
+
+    def call(teacher_params, key, x, **cond):
+        dyn, static = split_static_kwargs(cond)
+        if static not in jit_cache:
+            def run(tp, key, x, dyn, _static=static):
+                merged = dict(dyn)
+                merged.update({k: s.value for k, s in _static})
+                return targets(tp, key, x, **merged)
+
+            jit_cache[static] = jax.jit(run)
+        return jit_cache[static](teacher_params, key, x, dyn)
+
+    return call
 
 
 def make_distill_loss(net, teacher_params: Dict, num_student_steps: int,
@@ -135,23 +206,58 @@ class ProgressiveDistiller:
         student_steps = self.steps // 2
         net = self.model.net
         teacher_params = self.model.params["net"]
-        loss = make_distill_loss(net, teacher_params, student_steps,
-                                 loss_fn=self._loss_fn)
+        if self.mesh is not None:
+            # The teacher tree is an explicit argument of the target
+            # program (not state owned by init_state), so it must carry
+            # mesh-wide placement itself: follow the same sharding rules
+            # as trainable params (replicated on DP, sharded on TP).
+            from jax.sharding import NamedSharding
+
+            from .parallel.mesh import param_sharding_rules
+
+            pspecs = param_sharding_rules(teacher_params, self.mesh)
+            teacher_params = jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(
+                    x, NamedSharding(self.mesh, s)),
+                teacher_params, pspecs)
+        # Two separately-compiled programs (see make_teacher_targets for
+        # why the fused single-program form is not viable at flagship
+        # scale): teacher targets stream device-to-device into a student
+        # step that is exactly the ordinary v-training step shape.
+        target_fn = make_teacher_targets(net, student_steps,
+                                         mesh=self.mesh)
+        loss_fn = self._loss_fn or (
+            lambda a, b: jnp.mean(jnp.square(a - b)))
+
+        def student_loss(params, key, x_t, sigmas=None, v_target=None,
+                         **cond):
+            del key  # randomness was consumed by the target program
+            v_pred = net.apply(params["net"], x_t, sigmas, **cond)
+            return loss_fn(v_pred, v_target)
 
         init_state, train_step = make_train_step(
-            lambda p, k, x, **c: loss(p["net"], k, x, **c),
-            self.optimizer, mesh=self.mesh)
+            student_loss, self.optimizer, mesh=self.mesh)
         # The train step DONATES the state; seeding it with the live
-        # model.params arrays would delete them (and the teacher closure
-        # aliases them too) on step 1 — a mid-stage abort would brick the
+        # model.params arrays would delete them (the teacher tree reuses
+        # the same buffers) on step 1 — a mid-stage abort would brick the
         # model. Hand the student a fresh copy instead.
         student0 = jax.tree.map(lambda a: jnp.array(a, copy=True),
                                 self.model.params)
         state = init_state(student0, self.model.next_key())
+        tkey = self.model.next_key()
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            tkey = jax.device_put(
+                tkey, NamedSharding(self.mesh, PartitionSpec()))
         metrics: Dict = {}
         it = iter(batches)
         for i in range(num_train_steps):
-            state, metrics = train_step(state, next(it), **cond)
+            x_t, sig_t, v_tgt = target_fn(
+                teacher_params, jax.random.fold_in(tkey, i), next(it),
+                **cond)
+            state, metrics = train_step(state, x_t, sigmas=sig_t,
+                                        v_target=v_tgt, **cond)
             if (i + 1) % log_every == 0 or i == num_train_steps - 1:
                 log_fn(f"distill {self.steps}->{student_steps} "
                        f"step {i + 1}/{num_train_steps}: "

@@ -10,7 +10,9 @@ import numpy as np
 from audio_diffusion_tpu import DiffusionModel, UNetV0
 from audio_diffusion_tpu.diffusion.core import alpha_beta, pad_dims
 from audio_diffusion_tpu.distill import (ProgressiveDistiller,
-                                         _two_step_target)
+                                         _two_step_target,
+                                         make_distill_loss,
+                                         make_teacher_targets)
 
 TINY = dict(net_t=UNetV0, in_channels=1, channels=[8, 16], factors=[1, 2],
             items=[1, 1], modulation_features=32)
@@ -42,6 +44,45 @@ def test_two_step_target_algebra_exact():
     v_true = a_t * eps - b_t * x0
     np.testing.assert_allclose(np.asarray(v), np.asarray(v_true),
                                atol=1e-5)
+
+
+def test_split_pipeline_matches_fused_loss():
+    """The two-program form the distiller runs (teacher targets jitted
+    apart from the student step — the fused program crashes the remote
+    compile service at flagship scale) computes bit-identical loss to
+    make_distill_loss for the same key."""
+    model = DiffusionModel(**TINY)
+    x = jax.random.normal(jax.random.key(7), (2, 1, LENGTH))
+    model.initialize(x)
+    net, params = model.net, model.params["net"]
+    key = jax.random.key(42)
+
+    fused = make_distill_loss(net, params, num_student_steps=4)
+    l_fused = fused(params, key, x)
+
+    target_fn = make_teacher_targets(net, num_student_steps=4)
+    x_t, sig_t, v_tgt = target_fn(params, key, x)
+    v_pred = net.apply(params, x_t, sig_t)
+    l_split = jnp.mean(jnp.square(v_pred - v_tgt))
+    np.testing.assert_allclose(np.asarray(l_fused), np.asarray(l_split),
+                               rtol=1e-6)
+
+
+def test_teacher_targets_dequantize_int16_batches():
+    """Device-corpus int16 batches decode in-graph in the target program
+    exactly as the fused train step's dequant would."""
+    model = DiffusionModel(**TINY)
+    xi = (jax.random.normal(jax.random.key(1), (2, 1, LENGTH))
+          * 8000).astype(jnp.int16)
+    model.initialize(xi.astype(jnp.float32) / 32768.0)
+    net, params = model.net, model.params["net"]
+    key = jax.random.key(5)
+    target_fn = make_teacher_targets(net, num_student_steps=4)
+    x_t_i, sig_i, v_i = target_fn(params, key, xi)
+    x_t_f, sig_f, v_f = target_fn(params, key,
+                                  xi.astype(jnp.float32) / 32768.0)
+    np.testing.assert_array_equal(np.asarray(x_t_i), np.asarray(x_t_f))
+    np.testing.assert_array_equal(np.asarray(v_i), np.asarray(v_f))
 
 
 def _tone_batches(batch=4):
