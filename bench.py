@@ -83,8 +83,12 @@ def main():
     # All repetitions run on-device inside ONE jitted call (lax.map over
     # rep noises): each host->device call costs ~30 ms through the axon
     # tunnel and does NOT overlap, so a host-side reps loop would dilute
-    # the measurement. One RTT is subtracted explicitly — measured in-run
-    # as the median wall time of a trivial jit+fetch (not a baked constant).
+    # the measurement. Tunnel overhead is removed by a SLOPE measurement:
+    # time a big-reps call and a small-reps call and difference them — the
+    # per-call round-trip cancels exactly instead of being estimated.
+    # (Subtracting a separately-measured RTT over-corrects badly on
+    # degraded-tunnel days: BENCH_r03 measured a 1302 ms trivial-call RTT
+    # and the single-call subtraction inflated the result ~60%.)
     @jax.jit
     def _trivial(x):
         return jnp.sum(x)
@@ -96,19 +100,41 @@ def main():
         _ = float(_trivial(jnp.ones((8,))))
         rtt_samples.append(time.perf_counter() - t0)
     RTT = sorted(rtt_samples)[len(rtt_samples) // 2]
-    reps = 10
-    noises = jax.random.normal(
-        jax.random.key(0), (reps, BATCH, 2, LENGTH), jnp.float32)
 
-    @jax.jit
-    def sample_many(params, noises):
-        outs = jax.lax.map(lambda n: sample(params, n), noises)
-        return jnp.sum(outs)
+    REPS_SMALL, REPS_BIG = 2, 12
+    reps = REPS_BIG - REPS_SMALL  # samples measured by each slope
 
-    _ = float(sample_many(model.params, noises))  # compile + warmup
-    t0 = time.perf_counter()
-    _ = float(sample_many(model.params, noises))
-    elapsed = max(time.perf_counter() - t0 - RTT, 1e-6)
+    def make_many(n):
+        noises = jax.random.normal(
+            jax.random.key(0), (n, BATCH, 2, LENGTH), jnp.float32)
+
+        @jax.jit
+        def sample_many(params, noises):
+            outs = jax.lax.map(lambda m: sample(params, m), noises)
+            return jnp.sum(outs)
+
+        return sample_many, noises
+
+    many_small, noises_small = make_many(REPS_SMALL)
+    many_big, noises_big = make_many(REPS_BIG)
+
+    def slope(params, rounds=3):
+        """Median over rounds of t(big) - t(small): pure device time of
+        (REPS_BIG - REPS_SMALL) samples; the tunnel RTT cancels."""
+        diffs = []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            _ = float(many_big(params, noises_big))
+            t_big = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _ = float(many_small(params, noises_small))
+            t_small = time.perf_counter() - t0
+            diffs.append(max(t_big - t_small, 1e-6))
+        return sorted(diffs)[len(diffs) // 2]
+
+    _ = float(many_small(model.params, noises_small))  # compile + warmup
+    _ = float(many_big(model.params, noises_big))
+    elapsed = slope(model.params)
 
     steps_per_sec = NUM_STEPS * reps / elapsed
     if flops_per_step > 0:
@@ -140,10 +166,9 @@ def main():
     from audio_diffusion_tpu import quantize_params
 
     qparams = jax.jit(quantize_params)(model.params)
-    _ = float(sample_many(qparams, noises))  # compile + warmup
-    t0 = time.perf_counter()
-    _ = float(sample_many(qparams, noises))
-    q_elapsed = max(time.perf_counter() - t0 - RTT, 1e-6)
+    _ = float(many_small(qparams, noises_small))  # compile + warmup
+    _ = float(many_big(qparams, noises_big))
+    q_elapsed = slope(qparams)
     print(f"diag: int8 weight-quantized sampling "
           f"{1000*q_elapsed/(reps*NUM_STEPS):.2f} ms/step "
           f"({NUM_STEPS*reps/q_elapsed:.1f} steps/s; rel-RMS error vs bf16 "

@@ -7,8 +7,9 @@ only argued from the packing math. This measures all three the same way:
 - bytes accessed per sampling step (XLA cost analysis of the full 50-step
   program / 50) — verifies the packed nibbles actually cut compiler-visible
   traffic and that the unpack relayout doesn't re-materialize int8;
-- ms/step, RTT-corrected, all reps on-device in one ``lax.map`` call (the
-  measurement rules of bench.py / PERFORMANCE.md);
+- ms/step via bench.py's slope measurement (t(12 reps) - t(2 reps), all
+  reps on-device in one ``lax.map`` call — the tunnel RTT cancels in the
+  difference instead of being estimated);
 - fidelity vs the bf16 sample at fixed noise: relative RMS + log-spectral
   distance (audio_diffusion_tpu.eval.log_spectral_distance).
 
@@ -82,9 +83,16 @@ def main():
     rtt = sorted(rtts)[2]
     print(f"measured RTT {rtt*1000:.1f} ms", flush=True)
 
-    reps = 10
-    noises = jax.random.normal(jax.random.key(0), (reps, 1, 2, CROP),
-                               jnp.float32)
+    REPS_SMALL, REPS_BIG = 2, 12
+    reps = REPS_BIG - REPS_SMALL
+    noises_small = jax.random.normal(
+        jax.random.key(0), (REPS_SMALL, 1, 2, CROP), jnp.float32)
+    noises_big = jax.random.normal(
+        jax.random.key(0), (REPS_BIG, 1, 2, CROP), jnp.float32)
+
+    @jax.jit
+    def many(p, ns):
+        return jnp.sum(jax.lax.map(lambda n: sample(p, n), ns))
 
     def measure(params, tag):
         lowered = jax.jit(sample).lower(params, noise).compile()
@@ -92,15 +100,17 @@ def main():
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         mb_step = float((cost or {}).get("bytes accessed", 0.0)) / STEPS / 1e6
 
-        @jax.jit
-        def many(p, ns):
-            return jnp.sum(jax.lax.map(lambda n: sample(p, n), ns))
-
-        _ = float(many(params, noises))  # compile + warmup
-        t0 = time.perf_counter()
-        _ = float(many(params, noises))
-        ms_step = max(time.perf_counter() - t0 - rtt, 1e-6) * 1000 / (
-            reps * STEPS)
+        _ = float(many(params, noises_small))  # compile + warmup
+        _ = float(many(params, noises_big))
+        diffs = []
+        for _k in range(3):
+            t0 = time.perf_counter()
+            _ = float(many(params, noises_big))
+            t_big = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _ = float(many(params, noises_small))
+            diffs.append(max(t_big - (time.perf_counter() - t0), 1e-6))
+        ms_step = sorted(diffs)[1] * 1000 / (reps * STEPS)
         wav = np.asarray(sample(params, noise), np.float32)[0]
         print(f"{tag}: {mb_step:.0f} MB/step accessed, {ms_step:.2f} ms/step "
               f"({1000/ms_step:.1f} steps/s)", flush=True)
