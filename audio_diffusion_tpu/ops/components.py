@@ -179,12 +179,19 @@ class _LTModule(nn.Module):
                    dtype=self.dtype, param_dtype=self.param_dtype)(h)
         h = jnp.swapaxes(h, 1, 2)  # back to [B, C, T] for the inner net
         h = self.inner(h, sigmas, **kwargs)
+        enc = None
+        if kwargs.get("return_hidden", False):
+            # Encoder-reuse passthrough: the cached state is the inner
+            # net's (its input is this plugin's learned framing of x, which
+            # changes per step like x itself does).
+            h, enc = h
         h = jnp.swapaxes(h, 1, 2)
         h = ConvTranspose1d(self.out_channels, kernel_size=self.window_length,
                             stride=self.stride, padding=padding,
                             use_bias=False, name="decode",
                             dtype=self.dtype, param_dtype=self.param_dtype)(h)
-        return jnp.swapaxes(h, 1, 2)
+        out = jnp.swapaxes(h, 1, 2)
+        return (out, enc) if enc is not None else out
 
 
 def LTPlugin(net_t: Callable, num_filters: int, window_length: int,

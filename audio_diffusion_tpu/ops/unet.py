@@ -110,6 +110,15 @@ def _check_unused_kwargs(unused: dict) -> None:
             f"{sorted(bad)} requires a net built with "
             "use_embedding_cfg=True (reference components.py:66-69); this "
             "net has no CFG plugin, so guidance would be silently skipped")
+    reuse = {"hidden", "return_hidden"} & unused.keys()
+    if reuse:
+        # Hard error: a sampler asking for encoder reuse against a net that
+        # would silently ignore it (dim=2/3 U-Nets) must not mis-unpack the
+        # output as (v, enc).
+        raise TypeError(
+            f"{sorted(reuse)}: this net does not implement encoder reuse "
+            "(only the 1-D XUNet does); drop encoder_reuse from the "
+            "sampler call")
     unknown = set(unused) - {"key"}
     if unknown:
         import warnings
@@ -604,8 +613,20 @@ class XUNet(nn.Module):
         features: Optional[Array] = None,
         embedding: Optional[Array] = None,
         channels: Optional[Sequence[Optional[Array]]] = None,
+        hidden: Optional[Tuple] = None,
+        return_hidden: bool = False,
         **unused_kwargs,
     ) -> Array:
+        """``hidden`` / ``return_hidden`` expose the down path (encoder) for
+        cross-step reuse ("Faster Diffusion", Li et al., arXiv:2312.09608 —
+        PAPERS.md): ``return_hidden=True`` additionally returns the opaque
+        encoder state (bottleneck + skips, internal folded layout);
+        ``hidden=state`` SKIPS the down path and decodes from that state
+        with the CURRENT ``features`` (σ embedding) — the up path still
+        re-runs in full. Adjacent denoising steps have nearly identical
+        encoder features, so a sampler can run the encoder every k-th step
+        (see VSampler ``encoder_reuse``); ~45% of the per-step FLOPs skip
+        on reuse steps. Exact when ``hidden`` came from the same ``x``."""
         _check_unused_kwargs(unused_kwargs)
         num_levels = len(self.channels)
         contexts: Sequence[Optional[Array]] = default(
@@ -656,31 +677,42 @@ class XUNet(nn.Module):
                 use_pallas=self.use_pallas,
                 name=name, **common)
 
-        h = jnp.swapaxes(x, 1, 2)  # [B, T, C] channels-last
-        if self.dtype is not None:
-            h = h.astype(self.dtype)
-        h = fold(h, in_fold)
+        if hidden is not None:
+            # Decoder-only pass: reuse a cached encoder state. The down-path
+            # modules are simply not visited; flax resolves the up-path
+            # modules by their explicit names, so the SAME params tree
+            # serves both modes.
+            h, skips_t = hidden
+            skips = list(skips_t)
+        else:
+            h = jnp.swapaxes(x, 1, 2)  # [B, T, C] channels-last
+            if self.dtype is not None:
+                h = h.astype(self.dtype)
+            h = fold(h, in_fold)
 
-        skips = []
-        prev_c, prev_f = self.in_channels, in_fold
-        for i in range(num_levels):
-            with jax.named_scope(f"unet_down_{i}"):
-                # Level 0 always changes width in the projection: the raw
-                # in_channels (e.g. stereo = 2) can't be group-normed, so
-                # the a-unet reading has an initial conv there regardless.
-                level_cc = first_item_cc and i > 0
-                down_features = prev_c if level_cc else self.channels[i]
-                h = Downsample(in_channels=prev_c,
-                               features=down_features,
-                               factor=self.factors[i],
-                               in_fold=prev_f, out_fold=folds[i],
-                               name=f"down_{i}", **common)(h)
-                h = stack(i, f"items_down_{i}",
-                          in_c=prev_c if level_cc else None)(
-                    h, features, embedding, contexts[i])
-            prev_c, prev_f = self.channels[i], folds[i]
-            if i < num_levels - 1:
-                skips.append(h)
+            skips = []
+            prev_c, prev_f = self.in_channels, in_fold
+            for i in range(num_levels):
+                with jax.named_scope(f"unet_down_{i}"):
+                    # Level 0 always changes width in the projection: the
+                    # raw in_channels (e.g. stereo = 2) can't be group-
+                    # normed, so the a-unet reading has an initial conv
+                    # there regardless.
+                    level_cc = first_item_cc and i > 0
+                    down_features = prev_c if level_cc else self.channels[i]
+                    h = Downsample(in_channels=prev_c,
+                                   features=down_features,
+                                   factor=self.factors[i],
+                                   in_fold=prev_f, out_fold=folds[i],
+                                   name=f"down_{i}", **common)(h)
+                    h = stack(i, f"items_down_{i}",
+                              in_c=prev_c if level_cc else None)(
+                        h, features, embedding, contexts[i])
+                prev_c, prev_f = self.channels[i], folds[i]
+                if i < num_levels - 1:
+                    skips.append(h)
+
+        enc = (h, tuple(skips))  # captured BEFORE the up loop pops skips
 
         for i in reversed(range(num_levels)):
             with jax.named_scope(f"unet_up_{i}"):
@@ -721,7 +753,8 @@ class XUNet(nn.Module):
             h = conv3_as_matmuls(h, cast(fold_conv3_kernel(k, f0)),
                                  _tile(cast(b), f0))
             h = unfold(h, f0, self.out_channels)
-        return jnp.swapaxes(h, 1, 2).astype(x.dtype)  # back to [B, C, T]
+        out = jnp.swapaxes(h, 1, 2).astype(x.dtype)  # back to [B, C, T]
+        return (out, enc) if return_hidden else out
 
 
 class SigmaEmbedding(nn.Module):
@@ -836,8 +869,15 @@ class ClassifierFreeGuidanceWrapper(nn.Module):
         sigmas2 = double(sigmas) if sigmas is not None else sigmas
         emb2 = jnp.concatenate([embedding, fixed_b], axis=0)
         kwargs2 = jax.tree_util.tree_map(double, kwargs)
-        out2 = self.inner(x2, sigmas2, embedding=emb2, **kwargs2)
-        out, out_masked = out2[:b], out2[b:]
+        res2 = self.inner(x2, sigmas2, embedding=emb2, **kwargs2)
+        if kwargs.get("return_hidden", False):
+            # Encoder-reuse composes with guidance: the cached state is the
+            # DOUBLED pass's (its leaves carry batch 2b, so double() above
+            # passes a fed-back `hidden` through untouched on reuse steps).
+            out2, enc = res2
+            out, out_masked = out2[:b], out2[b:]
+            return out_masked + embedding_scale * (out - out_masked), enc
+        out, out_masked = res2[:b], res2[b:]
         return out_masked + embedding_scale * (out - out_masked)
 
 
