@@ -168,6 +168,32 @@ def _load_dataset(args, mesh):
     return ds
 
 
+def _paired_embedding_feed(ds, embedding_dir):
+    """Pair each corpus crop with its file's precomputed embedding
+    (DIR/<wav stem>.npy): yields (x, {"embedding": ...}) tuples — the
+    text-conditional data path without a local T5 (train --embedding-dir,
+    distill --embedding-dir). ``ds`` must be an AudioDataset built with
+    return_indices=True."""
+    import numpy as np
+
+    emb_dir = Path(embedding_dir)
+    missing = [f.stem for f in ds.files
+               if not (emb_dir / f"{f.stem}.npy").exists()]
+    if missing:
+        raise SystemExit(
+            f"--embedding-dir is missing .npy for: "
+            f"{', '.join(missing[:5])}"
+            + (f" (+{len(missing) - 5} more)" if len(missing) > 5 else ""))
+    table = np.stack([np.load(emb_dir / f"{f.stem}.npy").astype(
+        np.float32) for f in ds.files])
+
+    def paired():
+        for x, idx in ds:
+            yield x, {"embedding": table[idx]}
+
+    return paired()
+
+
 def _cmd_train(args) -> None:
     _enable_compile_cache()
     import jax.numpy as jnp
@@ -249,25 +275,7 @@ def _cmd_train(args) -> None:
     feed = iter(ds)
     fit_cond: Dict = {}
     if args.embedding_dir is not None:
-        import numpy as np
-
-        emb_dir = Path(args.embedding_dir)
-        missing = [f.stem for f in ds.files
-                   if not (emb_dir / f"{f.stem}.npy").exists()]
-        if missing:
-            raise SystemExit(
-                f"--embedding-dir is missing .npy for: "
-                f"{', '.join(missing[:5])}"
-                + (f" (+{len(missing) - 5} more)"
-                   if len(missing) > 5 else ""))
-        table = np.stack([np.load(emb_dir / f"{f.stem}.npy").astype(
-            np.float32) for f in ds.files])
-
-        def paired(base):
-            for x, idx in base:
-                yield x, {"embedding": table[idx]}
-
-        feed = paired(feed)
+        feed = _paired_embedding_feed(ds, args.embedding_dir)
         # CFG training: drop the embedding at this rate so the null
         # branch learns (reference README.md:70 embedding_mask_proba).
         fit_cond["embedding_mask_proba"] = args.embedding_mask_proba
@@ -353,6 +361,14 @@ def _cmd_distill(args) -> None:
             f"distill drives unconditional models; a {task} model's "
             "conditioning channels need the Python API "
             "(ProgressiveDistiller.stage(**cond))")
+    if args.guidance_scale is not None and not cfg.get("use_embedding_cfg"):
+        raise SystemExit(
+            "--guidance-scale requires a CFG model (use_embedding_cfg in "
+            "the run config); this run has no guidance to distill")
+    if args.guidance_scale is not None and args.embedding_dir is None:
+        raise SystemExit(
+            "--guidance-scale needs --embedding-dir: guidance distillation "
+            "trains on (audio, embedding) pairs")
     # The halving ladder must land exactly on the target.
     stages, n = 0, args.base_steps
     while n > args.target_steps and n % 2 == 0:
@@ -370,10 +386,31 @@ def _cmd_distill(args) -> None:
     model.load(args.model)
 
     mesh = create_mesh()
-    ds = _load_dataset(args, mesh)
+    if args.embedding_dir is not None:
+        # Paired embeddings ride each batch as (x, cond) tuples (host data
+        # path, like train --embedding-dir); the teacher's conditional
+        # predictions then match how the model was trained.
+        from .data import AudioDataset
+
+        ds = AudioDataset(args.data, crop_frames=args.crop,
+                          batch_size=args.batch, seed=args.seed,
+                          return_indices=True)
+        print(f"dataset: {len(ds.files)} files, {ds.channels} ch @ "
+              f"{ds.sample_rate} Hz, crop {args.crop}, paired embeddings "
+              f"from {args.embedding_dir}")
+        batches = _paired_embedding_feed(ds, args.embedding_dir)
+    else:
+        ds = _load_dataset(args, mesh)
+        batches = iter(ds)
     distiller = ProgressiveDistiller(model, base_steps=args.base_steps,
                                      learning_rate=args.lr, mesh=mesh)
-    batches = iter(ds)
+    if args.guidance_scale is not None:
+        distiller.guidance_stage(batches,
+                                 embedding_scale=args.guidance_scale,
+                                 num_train_steps=args.guidance_steps,
+                                 log_every=args.log_every)
+        print(f"guidance stage done: CFG scale {args.guidance_scale} "
+              "distilled into a single conditional pass")
     for _ in range(stages):
         distiller.stage(batches, num_train_steps=args.stage_steps,
                         log_every=args.log_every)
@@ -982,6 +1019,15 @@ def main(argv=None) -> None:
     d.add_argument("--data-placement", choices=("auto", "host", "device"),
                    default="auto")
     d.add_argument("--dtype", choices=("bf16", "f32"), default="bf16")
+    d.add_argument("--embedding-dir", default=None,
+                   help="paired per-file .npy embeddings (text-conditional "
+                        "runs trained with train --embedding-dir)")
+    d.add_argument("--guidance-scale", type=float, default=None,
+                   help="distill classifier-free guidance at this scale "
+                        "into a single conditional pass first (Meng et "
+                        "al. 2023); requires --embedding-dir")
+    d.add_argument("--guidance-steps", type=int, default=2000,
+                   help="training steps for the guidance stage")
     d.add_argument("--out", default=None,
                    help="output params dir (default: "
                         "<run>/model_distilled<target>)")

@@ -39,7 +39,7 @@ from .parallel import make_train_step
 from .utils import dequant_pcm16, split_static_kwargs
 
 __all__ = ["make_distill_loss", "make_teacher_targets",
-           "ProgressiveDistiller"]
+           "make_guidance_targets", "ProgressiveDistiller"]
 
 
 def _two_step_target(net, teacher_params: Dict, x_t: Array, sig_t: Array,
@@ -101,6 +101,50 @@ def make_teacher_targets(net, num_student_steps: int,
                                     num_student_steps, **cond)
         return x_t, sig_t, v_target
 
+    return _jit_targets_program(targets, mesh)
+
+
+def make_guidance_targets(net, embedding_scale: float,
+                          mesh: Optional[Mesh] = None):
+    """Jitted teacher-target program for GUIDANCE distillation:
+    ``targets(teacher_params, key, x, embedding=..., **cond) ->
+    (x_t, sig_t, v_target)`` where ``v_target`` is the teacher's
+    classifier-free-guided v at ``embedding_scale`` (the batch-doubled
+    two-pass of ops/unet.py's CFG wrapper).
+
+    A student trained on these targets answers in ONE conditional pass
+    what the teacher needs two for ("On Distillation of Guided Diffusion
+    Models", Meng et al., CVPR 2023 — the w-fixed variant: one student per
+    guidance scale). Serving cost per step halves; stacks with progressive
+    step distillation (run ``guidance_stage`` first, then ``stage``s with
+    the embedding passed as conditioning).
+
+    σ is drawn continuously (U(0,1), like VDiffusion training): guidance
+    distillation changes WHAT the net predicts, not the step grid.
+    """
+
+    def targets(teacher_params: Dict, key: Array, x: Array, *,
+                embedding: Array, **cond):
+        x = dequant_pcm16(x)
+        b = x.shape[0]
+        k_t, k_eps = jax.random.split(key)
+        sig_t = jax.random.uniform(k_t, (b,), jnp.float32)
+        a_t, b_t = alpha_beta(pad_dims(sig_t, x.ndim - 1))
+        eps = jax.random.normal(k_eps, x.shape, x.dtype)
+        x_t = a_t * x + b_t * eps
+        v_target = net.apply(teacher_params, x_t, sig_t,
+                             embedding=embedding,
+                             embedding_scale=embedding_scale, **cond)
+        return x_t, sig_t, jax.lax.stop_gradient(v_target)
+
+    return _jit_targets_program(targets, mesh)
+
+
+def _jit_targets_program(targets, mesh: Optional[Mesh]):
+    """Shared plumbing for teacher-target programs: optional data-axis
+    sharding constraints + the traced-vs-static conditioning contract of
+    make_train_step (scalar kwargs select program structure, arrays are
+    traced)."""
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -118,8 +162,6 @@ def make_teacher_targets(net, num_student_steps: int,
             return inner(teacher_params, key, constrain(x),
                          **{**cond, **arrays})
 
-    # Same traced-vs-static conditioning contract as make_train_step:
-    # scalar kwargs select program structure, arrays are traced.
     jit_cache = {}
 
     def call(teacher_params, key, x, **cond):
@@ -197,14 +239,8 @@ class ProgressiveDistiller:
         self.optimizer = optimizer or optax.adam(learning_rate)
         self._loss_fn = loss_fn
 
-    def stage(self, batches, num_train_steps: int,
-              log_fn: Callable[[str], None] = print,
-              log_every: int = 100, **cond) -> Dict:
-        """One halving: train a student at steps//2; returns last metrics."""
-        assert self.steps % 2 == 0, (
-            f"cannot halve an odd step count ({self.steps})")
-        student_steps = self.steps // 2
-        net = self.model.net
+    def _placed_teacher(self):
+        """The frozen teacher tree, mesh-placed when training is sharded."""
         teacher_params = self.model.params["net"]
         if self.mesh is not None:
             # The teacher tree is an explicit argument of the target
@@ -220,12 +256,22 @@ class ProgressiveDistiller:
                 lambda x, s: jax.device_put(
                     x, NamedSharding(self.mesh, s)),
                 teacher_params, pspecs)
-        # Two separately-compiled programs (see make_teacher_targets for
-        # why the fused single-program form is not viable at flagship
-        # scale): teacher targets stream device-to-device into a student
-        # step that is exactly the ordinary v-training step shape.
-        target_fn = make_teacher_targets(net, student_steps,
-                                         mesh=self.mesh)
+        return teacher_params
+
+    def _run_stage(self, target_fn, batches, num_train_steps: int,
+                   log_fn: Callable[[str], None], log_every: int,
+                   tag: str, **cond) -> Dict:
+        """Train a student against a teacher-target program.
+
+        Two separately-compiled programs (see make_teacher_targets for why
+        the fused single-program form is not viable at flagship scale):
+        teacher targets stream device-to-device into a student step that is
+        exactly the ordinary v-training step shape. ``batches`` may yield
+        plain arrays or ``(x, {"embedding": ...})`` tuples (the paired-
+        embedding corpus convention of Trainer.fit)."""
+        net = self.model.net
+        teacher_params = self._placed_teacher()
+        target_fn = target_fn  # already jitted/mesh-aware
         loss_fn = self._loss_fn or (
             lambda a, b: jnp.mean(jnp.square(a - b)))
 
@@ -253,15 +299,64 @@ class ProgressiveDistiller:
         metrics: Dict = {}
         it = iter(batches)
         for i in range(num_train_steps):
+            batch = next(it)
+            step_cond = cond
+            if isinstance(batch, tuple):
+                batch, batch_cond = batch
+                step_cond = {**cond, **batch_cond}
             x_t, sig_t, v_tgt = target_fn(
-                teacher_params, jax.random.fold_in(tkey, i), next(it),
-                **cond)
+                teacher_params, jax.random.fold_in(tkey, i), batch,
+                **step_cond)
             state, metrics = train_step(state, x_t, sigmas=sig_t,
-                                        v_target=v_tgt, **cond)
+                                        v_target=v_tgt, **step_cond)
             if (i + 1) % log_every == 0 or i == num_train_steps - 1:
-                log_fn(f"distill {self.steps}->{student_steps} "
-                       f"step {i + 1}/{num_train_steps}: "
+                log_fn(f"distill {tag} step {i + 1}/{num_train_steps}: "
                        f"loss={float(metrics['loss']):.5f}")
         self.model.params = state.params
+        return metrics
+
+    def stage(self, batches, num_train_steps: int,
+              log_fn: Callable[[str], None] = print,
+              log_every: int = 100, **cond) -> Dict:
+        """One halving: train a student at steps//2; returns last metrics."""
+        assert self.steps % 2 == 0, (
+            f"cannot halve an odd step count ({self.steps})")
+        student_steps = self.steps // 2
+        target_fn = make_teacher_targets(self.model.net, student_steps,
+                                         mesh=self.mesh)
+        metrics = self._run_stage(
+            target_fn, batches, num_train_steps, log_fn, log_every,
+            tag=f"{self.steps}->{student_steps}", **cond)
         self.steps = student_steps
         return metrics
+
+    def guidance_stage(self, batches, embedding_scale: float,
+                       num_train_steps: int,
+                       log_fn: Callable[[str], None] = print,
+                       log_every: int = 100, **cond) -> Dict:
+        """Distill classifier-free guidance into a single conditional pass.
+
+        The teacher answers with its CFG-guided v at ``embedding_scale``
+        (two batch-doubled net evaluations per step, ops/unet.py CFG
+        wrapper); the student learns to produce that SAME v in one
+        conditional evaluation — after this stage, sample WITHOUT
+        ``embedding_scale`` (i.e. scale 1) and get guided-quality output at
+        half the per-step cost (Meng et al., CVPR 2023, w-fixed variant).
+
+        Step count is unchanged (run this BEFORE the halving ``stage``s;
+        pass the same ``embedding`` conditioning to those — the teacher
+        two-step targets then match the guided-distilled student's own
+        conditional predictions).
+
+        ``batches`` must carry the conditioning: either yield
+        ``(x, {"embedding": ...})`` tuples or pass a fixed ``embedding=``
+        kwarg. Guidance scale is baked into the student (one student per
+        scale — the reference's runtime-scale flexibility trades off
+        against the 2× serving win; keep the undistilled teacher for
+        scale sweeps).
+        """
+        target_fn = make_guidance_targets(self.model.net, embedding_scale,
+                                          mesh=self.mesh)
+        return self._run_stage(
+            target_fn, batches, num_train_steps, log_fn, log_every,
+            tag=f"guidance(w={embedding_scale:g})", **cond)

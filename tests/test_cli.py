@@ -660,3 +660,54 @@ def test_cli_train_with_embedding_dir(tiny_setup):
               "--out", str(tmp / "run_missing"), "--steps", "1",
               "--batch", "2", "--crop", "512",
               "--embedding-dir", str(tmp)])  # wrong dir: no stems
+
+
+def test_cli_distill_guidance_scale(tiny_setup):
+    """Guided distillation from the CLI: --guidance-scale bakes CFG into a
+    single conditional pass before the halving stages; the distilled run
+    then samples WITHOUT --embedding-scale."""
+    data, _, tmp = tiny_setup
+    emb_dir = tmp / "embs"
+    emb_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        np.save(emb_dir / f"{i}.npy",
+                rng.standard_normal((8, 16)).astype(np.float32))
+    cfg = tmp / "txt.json"
+    cfg.write_text(json.dumps(dict(
+        in_channels=1, channels=[8, 32], factors=[1, 4], items=[1, 1],
+        cross_attentions=[0, 1], attention_heads=2, attention_features=8,
+        modulation_features=32, use_embedding_cfg=True,
+        embedding_max_length=8, embedding_features=16)))
+    run = tmp / "run_gdistill"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(run), "--steps", "2", "--batch", "2",
+          "--crop", "512", "--log-every", "2", "--checkpoint-every", "9",
+          "--embedding-dir", str(emb_dir)])
+
+    main(["distill", "--model", str(run / "model"), "--data", str(data),
+          "--base-steps", "4", "--target-steps", "2",
+          "--stage-steps", "2", "--batch", "2", "--crop", "512",
+          "--log-every", "1", "--embedding-dir", str(emb_dir),
+          "--guidance-scale", "3.0", "--guidance-steps", "2"])
+    distilled = run / "model_distilled2"
+    assert distilled.exists()
+
+    out = tmp / "gdistill_samples"
+    main(["sample", "--model", str(distilled), "--out", str(out),
+          "--num", "1", "--steps", "2", "--length", "512",
+          "--embedding", str(emb_dir / "0.npy")])  # single-pass: no scale
+    assert len(list(out.glob("*.wav"))) == 1
+
+
+def test_cli_distill_guidance_guards(tiny_setup):
+    data, cfg, tmp = tiny_setup
+    run = tmp / "run_gg"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(run), "--steps", "1", "--batch", "2",
+          "--crop", "512", "--log-every", "1", "--checkpoint-every", "9"])
+    with pytest.raises(SystemExit, match="no guidance to distill"):
+        main(["distill", "--model", str(run / "model"), "--data",
+              str(data), "--base-steps", "4", "--target-steps", "2",
+              "--guidance-scale", "3.0",
+              "--embedding-dir", str(tmp)])
