@@ -74,20 +74,33 @@ def main():
           {k: round(v, 4) for k, v in after.items()}, flush=True)
 
     def timed_sample(params, steps):
-        reps = 10
-        noises = jax.random.normal(jax.random.key(0),
-                                   (reps, 1, 2, CROP), jnp.float32)
+        # Slope measurement (bench.py rules): t(12 reps) - t(2 reps), the
+        # tunnel RTT cancels in the difference.
+        def many_fn(n_reps):
+            noises = jax.random.normal(jax.random.key(0),
+                                       (n_reps, 1, 2, CROP), jnp.float32)
 
-        @jax.jit
-        def many(p, ns):
-            return jnp.sum(jax.lax.map(
-                lambda n: model.sample_fn(p, n, num_steps=steps,
-                                          unroll=min(5, steps)), ns))
+            @jax.jit
+            def many(p, ns):
+                return jnp.sum(jax.lax.map(
+                    lambda n: model.sample_fn(p, n, num_steps=steps,
+                                              unroll=min(5, steps)), ns))
 
-        _ = float(many(params, noises))  # compile
-        t0 = time.perf_counter()
-        _ = float(many(params, noises))
-        return (time.perf_counter() - t0) / reps
+            return many, noises
+
+        small, noises_small = many_fn(2)
+        big, noises_big = many_fn(12)
+        _ = float(small(params, noises_small))  # compile + warmup
+        _ = float(big(params, noises_big))
+        diffs = []
+        for _i in range(3):
+            t0 = time.perf_counter()
+            _ = float(big(params, noises_big))
+            t_big = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _ = float(small(params, noises_small))
+            diffs.append(max(t_big - (time.perf_counter() - t0), 1e-6))
+        return sorted(diffs)[1] / 10
 
     lat_student = timed_sample(student, TARGET)
     lat_teacher = timed_sample(teacher, 50)

@@ -43,12 +43,22 @@ if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
 
 
 def main():
-    model = DiffusionModel(net_t=UNetV0, dtype=jnp.bfloat16,
-                           **presets.UNCONDITIONAL_48K)
-    model.initialize(jnp.zeros((1, 2, CROP)))
-    trained = Path(RUN, "model").exists()
-    if trained:
-        model.load(f"{RUN}/model")
+    global CROP
+    if os.environ.get("ER_TINY"):  # CPU smoke: exercise every code path
+        CROP = 2048
+        model = DiffusionModel(net_t=UNetV0, dtype=jnp.bfloat16,
+                               in_channels=2, channels=[8, 16],
+                               factors=[1, 2], items=[1, 1],
+                               modulation_features=32)
+        model.initialize(jnp.zeros((1, 2, CROP)))
+        trained = False
+    else:
+        model = DiffusionModel(net_t=UNetV0, dtype=jnp.bfloat16,
+                               **presets.UNCONDITIONAL_48K)
+        model.initialize(jnp.zeros((1, 2, CROP)))
+        trained = Path(RUN, "model").exists()
+        if trained:
+            model.load(f"{RUN}/model")
     print(f"params: {'trained ' + RUN if trained else 'random init'}",
           flush=True)
 
