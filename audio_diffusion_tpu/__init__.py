@@ -41,7 +41,8 @@ from .models import (
 )
 from .losses import MultiResolutionSTFTLoss, multi_resolution_stft_loss
 from .ops import (AppendChannelsPlugin, LTPlugin, Net, QTensor, UNetV0,
-                  XUNet, dequantize_params, quantize_params)
+                  XUNet, dequantize_params, quantize_params,
+                  unpack_int4_leaves)
 
 __version__ = "0.1.0"
 
@@ -54,6 +55,7 @@ __all__ = [
     "QTensor",
     "quantize_params",
     "dequantize_params",
+    "unpack_int4_leaves",
     "ProgressiveDistiller",
     "export_sampler",
     "load_sampler",

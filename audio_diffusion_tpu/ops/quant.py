@@ -40,11 +40,14 @@ Mechanics that matter on TPU/XLA:
 - ``bits=4`` packs two signed nibbles (values in [-7,7]) per int8 byte —
   4× weight capacity vs bf16 (flagship: 733 → ~186 MB). Pairs are packed
   along the flattened *input* axes so per-output-channel scales are
-  untouched; unpacking is two arithmetic shifts plus an interleave
-  (stack/reshape) inside the scan body — measure on device that the
-  relayout fuses before relying on the bytes win. Int8 measured
-  1.3% relative waveform error on the flagship; int4 is coarser — measure
-  per model (see PERFORMANCE.md round-3 quantization) before serving it.
+  untouched. **Measured round 4 (PERFORMANCE.md): int4 is an AT-REST
+  format only.** The nibble unpack's relayout does NOT fuse — XLA
+  materializes the unpacked int8 intermediate every scan step, so
+  streaming packed nibbles measured MORE bytes (761 vs 697 MB/step) and
+  2× the wall clock of bf16, at 7.9% rel-RMS error on the trained
+  flagship (int8: 444 MB, wall-clock neutral, 0.74%). Store int4 for
+  capacity; call :func:`unpack_int4_leaves` ONCE at load to serve from
+  the int8 streaming format.
 """
 from __future__ import annotations
 
@@ -61,6 +64,7 @@ __all__ = [
     "dequantize_params",
     "has_qtensors",
     "dequantize_step_params",
+    "unpack_int4_leaves",
 ]
 
 
@@ -203,6 +207,24 @@ def dequantize_params(params: Dict, dtype=None,
     return jax.tree.map(
         lambda x: dequantize_leaf(x, dtype, wiggle) if _is_q(x) else x,
         params, is_leaf=_is_q)
+
+
+def unpack_int4_leaves(params: Dict) -> Dict:
+    """Convert every int4 QTensor leaf to the int8 streaming format (same
+    values, same scales — lossless unpack, done ONCE at load time).
+
+    This is the measured-correct way to SERVE weights stored int4: packed
+    nibbles double sampling wall clock when streamed through the scan (the
+    unpack relayout doesn't fuse — PERFORMANCE.md round 4), while the int8
+    form streams at −36% bytes and neutral wall clock. Int4 remains the
+    at-rest/transport format (4× capacity)."""
+
+    def f(leaf):
+        if _is_q(leaf) and leaf.bits == 4:
+            return QTensor(_unpack_int4(leaf), leaf.qscale, leaf.orig_dtype)
+        return leaf
+
+    return jax.tree.map(f, params, is_leaf=_is_q)
 
 
 def has_qtensors(params: Dict) -> bool:

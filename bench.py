@@ -174,6 +174,56 @@ def main():
           f"({NUM_STEPS*reps/q_elapsed:.1f} steps/s; rel-RMS error vs bf16 "
           "1.3%, LSD 0.28 dB — PERFORMANCE.md r3)", file=sys.stderr)
 
+    # Secondary diagnostic: the distilled flagship (64->8 progressive
+    # distillation, PERFORMANCE.md r4) when its params are on disk — the
+    # serving-latency headline: 8 steps at better-than-teacher-16-step
+    # quality, measured 29.6 ms vs 182.8 ms for the 50-step teacher.
+    import os.path
+    distilled = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "runs", "flagship_r3", "model_distilled8")
+    if os.path.isdir(distilled):
+        try:
+            import orbax.checkpoint as ocp
+
+            dparams = ocp.StandardCheckpointer().restore(
+                os.path.abspath(distilled), target=model.params)
+
+            def sample8(params, noise):
+                return model.sample_fn(params, noise, num_steps=8, unroll=5)
+
+            def make8(n):
+                ns = jax.random.normal(jax.random.key(0),
+                                       (n, BATCH, 2, LENGTH), jnp.float32)
+
+                @jax.jit
+                def many(p, nn_):
+                    return jnp.sum(jax.lax.map(lambda m: sample8(p, m),
+                                               nn_))
+
+                return many, ns
+
+            s8, n8s = make8(REPS_SMALL)
+            b8, n8b = make8(REPS_BIG)
+            _ = float(s8(dparams, n8s))
+            _ = float(b8(dparams, n8b))
+            d8 = []
+            for _i in range(3):
+                t0 = time.perf_counter()
+                _ = float(b8(dparams, n8b))
+                tb = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                _ = float(s8(dparams, n8s))
+                d8.append(max(tb - (time.perf_counter() - t0), 1e-6))
+            lat8 = sorted(d8)[1] / reps
+            print(f"diag: distilled-8-step flagship sample "
+                  f"{lat8*1000:.1f} ms/sample "
+                  f"({elapsed/reps/lat8:.1f}x the 50-step teacher; quality "
+                  "between teacher 16 and 32 steps — PERFORMANCE.md r4)",
+                  file=sys.stderr)
+        except Exception as e:  # diag only — never fail the bench
+            print(f"diag: distilled model present but unmeasurable: {e}",
+                  file=sys.stderr)
+
     # Secondary diagnostic: train step (loss+grad+adam) samples/sec via the
     # library's donated train step (the real training path — measured ~25%
     # faster than a naive non-donated loop, PERFORMANCE.md).

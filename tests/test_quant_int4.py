@@ -146,3 +146,26 @@ def test_packed_shape_vs_logical_shape():
     assert qt4.shape == (64, 32) and qt4.packed_shape == (32, 32)
     qt8 = quantize_leaf(jnp.ones((64, 32)), bits=8)
     assert qt8.shape == qt8.packed_shape == (64, 32)
+
+
+def test_unpack_int4_leaves_lossless_int8_form():
+    """Load-time int4 -> int8 conversion (the measured-correct serving
+    path, PERFORMANCE.md r4): same dequantized values, bits=8 leaves,
+    non-QTensor and int8 leaves untouched."""
+    import numpy as np
+
+    from audio_diffusion_tpu.ops.quant import (dequantize_params,
+                                               quantize_leaf,
+                                               unpack_int4_leaves)
+
+    w = jax.random.normal(jax.random.key(0), (33, 16))  # odd rows: padding
+    tree = {"a": quantize_leaf(w, bits=4),
+            "b": quantize_leaf(w, bits=8),
+            "c": jnp.ones((3,))}
+    out = unpack_int4_leaves(tree)
+    assert out["a"].bits == 8 and out["a"].shape == (33, 16)
+    assert out["a"].packed_shape == (33, 16)  # genuinely unpacked
+    assert out["b"] is tree["b"] and out["c"] is tree["c"]
+    np.testing.assert_array_equal(
+        np.asarray(dequantize_params(tree)["a"]),
+        np.asarray(dequantize_params(out)["a"]))
