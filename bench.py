@@ -174,6 +174,44 @@ def main():
           f"({NUM_STEPS*reps/q_elapsed:.1f} steps/s; rel-RMS error vs bf16 "
           "1.3%, LSD 0.28 dB — PERFORMANCE.md r3)", file=sys.stderr)
 
+    # Secondary diagnostic: encoder-reuse sampling (Faster Diffusion,
+    # arXiv:2312.09608; VSampler encoder_reuse=2) — an approximate
+    # alternative sampler: measured in-distribution quality flat on the
+    # trained flagship (band-profile 0.578 vs 0.572 exact), PERFORMANCE.md
+    # r4. The headline above stays the exact k=1 sampler.
+    def sample_er(params, noise):
+        return model.sample_fn(params, noise, num_steps=NUM_STEPS,
+                               unroll=5, encoder_reuse=2)
+
+    def make_er(n):
+        ns = jax.random.normal(jax.random.key(0), (n, BATCH, 2, LENGTH),
+                               jnp.float32)
+
+        @jax.jit
+        def many(p, nn_):
+            return jnp.sum(jax.lax.map(lambda m: sample_er(p, m), nn_))
+
+        return many, ns
+
+    er_s, er_ns = make_er(REPS_SMALL)
+    er_b, er_nb = make_er(REPS_BIG)
+    _ = float(er_s(model.params, er_ns))
+    _ = float(er_b(model.params, er_nb))
+    er_d = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        _ = float(er_b(model.params, er_nb))
+        tb = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = float(er_s(model.params, er_ns))
+        er_d.append(max(tb - (time.perf_counter() - t0), 1e-6))
+    er_elapsed = sorted(er_d)[1]
+    print(f"diag: encoder-reuse k=2 sampling "
+          f"{1000*er_elapsed/(reps*NUM_STEPS):.2f} ms/step "
+          f"({NUM_STEPS*reps/er_elapsed:.1f} steps/s; approximate sampler, "
+          "in-distribution quality flat — PERFORMANCE.md r4)",
+          file=sys.stderr)
+
     # Secondary diagnostic: the distilled flagship (64->8 progressive
     # distillation, PERFORMANCE.md r4) when its params are on disk — the
     # serving-latency headline: 8 steps at better-than-teacher-16-step
