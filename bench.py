@@ -172,7 +172,8 @@ def main():
     print(f"diag: int8 weight-quantized sampling "
           f"{1000*q_elapsed/(reps*NUM_STEPS):.2f} ms/step "
           f"({NUM_STEPS*reps/q_elapsed:.1f} steps/s; rel-RMS error vs bf16 "
-          "1.3%, LSD 0.28 dB — PERFORMANCE.md r3)", file=sys.stderr)
+          "0.74% on trained flagship weights, LSD 0.18 dB — "
+          "PERFORMANCE.md r4)", file=sys.stderr)
 
     # Secondary diagnostic: encoder-reuse sampling (Faster Diffusion,
     # arXiv:2312.09608; VSampler encoder_reuse=2) — an approximate
