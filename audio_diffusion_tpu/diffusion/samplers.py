@@ -248,7 +248,11 @@ class DPMSampler(Sampler):
 
     def sample(self, params: Dict, x_noisy: Array, num_steps: int,
                show_progress: bool = False, unroll: int = 1,
-               **kwargs) -> Array:
+               encoder_reuse: int = 1, **kwargs) -> Array:
+        """``encoder_reuse=k`` works exactly as in :class:`VSampler` (the
+        U-Net down path runs every k-th step; decode-only between) — the
+        multistep x0 history is carried through reuse steps unchanged.
+        k=1 (default) is the exact solver."""
         b = x_noisy.shape[0]
         params = cast_inference_params(
             params, getattr(self.net, "compute_dtype", None))
@@ -259,13 +263,14 @@ class DPMSampler(Sampler):
         hs = lam[1:] - lam[:-1]  # [s]
         h_prev = jnp.concatenate([jnp.ones_like(hs[:1]), hs[:-1]])
 
-        def step(carry, scan_in):
-            x, x0_prev, is_first = carry
-            sig, a0, b0, a1, b1, h, hp = scan_in
+        def net_v(x, sig, **extra):
             p = dequantize_step_params(
                 params, getattr(self.net, "compute_dtype", None), x)
-            v = self.net.apply(p, x, jnp.full((b,), sig, x.dtype),
-                               **kwargs)
+            return self.net.apply(p, x, jnp.full((b,), sig, x.dtype),
+                                  **kwargs, **extra)
+
+        def update(x, v, x0_prev, is_first, coefs):
+            a0, b0, a1, b1, h, hp = coefs
             x0 = a0 * x - b0 * v
             # Second-order correction from the previous x0 estimate;
             # first step falls back to first order (DDIM-equivalent).
@@ -274,16 +279,43 @@ class DPMSampler(Sampler):
                 x0 - x0_prev)
             ratio = b1 / jnp.maximum(b0, self._EPS)
             x_next = ratio * x + a1 * (1.0 - jnp.exp(-h)) * d
-            if show_progress:
-                jax.debug.print("Sampling (noise={s:.2f})", s=sig)
             # Coefficient math runs f32; the carry stays in the caller's
             # dtype (bf16-safe: f32 carry would break the scan dtype
             # invariant against the bf16 init).
-            return (x_next.astype(x.dtype), x0.astype(x.dtype),
-                    jnp.zeros_like(is_first)), None
+            return x_next.astype(x.dtype), x0.astype(x.dtype)
+
+        k = int(encoder_reuse)
+        if k > 1:
+            assert num_steps % k == 0, (
+                f"num_steps ({num_steps}) must be divisible by "
+                f"encoder_reuse ({k})")
+
+        def step(carry, scan_in):
+            x, x0_prev, is_first = carry
+            if k <= 1:
+                sig, *coefs = scan_in
+                v = net_v(x, sig)
+                x, x0_prev = update(x, v, x0_prev, is_first, coefs)
+                if show_progress:
+                    jax.debug.print("Sampling (noise={s:.2f})", s=sig)
+                return (x, x0_prev, jnp.zeros_like(is_first)), None
+            sigs, *coefs_k = scan_in  # each [k]
+            v, enc = net_v(x, sigs[0], return_hidden=True)
+            x, x0_prev = update(x, v, x0_prev, is_first,
+                                [c[0] for c in coefs_k])
+            is_first = jnp.zeros_like(is_first)
+            for j in range(1, k):  # static unroll inside the chunk
+                v = net_v(x, sigs[j], hidden=enc)
+                x, x0_prev = update(x, v, x0_prev, is_first,
+                                    [c[j] for c in coefs_k])
+            if show_progress:
+                jax.debug.print("Sampling (noise={s:.2f})", s=sigs[0])
+            return (x, x0_prev, is_first), None
 
         xs = (sigmas[:-1], alphas[:-1], betas[:-1], alphas[1:], betas[1:],
               hs, h_prev)
+        if k > 1:
+            xs = tuple(a.reshape(num_steps // k, k) for a in xs)
         carry = (x_noisy, jnp.zeros_like(x_noisy),
                  jnp.ones((), jnp.bool_))
         (x, _, _), _ = lax.scan(step, carry, xs, unroll=unroll)

@@ -117,3 +117,21 @@ def test_encoder_reuse_rejected_on_2d_nets():
     noise = jax.random.normal(jax.random.key(7), (1, 1, 16, 16))
     with pytest.raises(TypeError, match="encoder reuse"):
         model.sample(noise, num_steps=4, encoder_reuse=2)
+
+
+def test_dpm_encoder_reuse():
+    """DPMSampler supports encoder_reuse with the same contract: k=1
+    bit-exact, k=2 finite and strongly correlated."""
+    from audio_diffusion_tpu.diffusion import DPMSampler
+
+    model = DiffusionModel(sampler_t=DPMSampler, **TINY)
+    model.initialize(jnp.zeros((1, 2, LENGTH)))
+    noise = jax.random.normal(jax.random.key(9), (1, 2, LENGTH))
+    exact = np.asarray(model.sample(noise, num_steps=16))
+    same = np.asarray(model.sample(noise, num_steps=16, encoder_reuse=1))
+    np.testing.assert_array_equal(exact, same)
+    fast = np.asarray(model.sample(noise, num_steps=16, encoder_reuse=2))
+    assert np.isfinite(fast).all()
+    denom = float(np.sqrt((exact ** 2).mean()))
+    rel = float(np.sqrt(((fast - exact) ** 2).mean())) / max(denom, 1e-9)
+    assert rel < 0.5, rel
