@@ -1,0 +1,152 @@
+"""Conditioning-fidelity eval for a profile-conditional run: does the
+generated audio's band profile actually follow the embedding it was
+conditioned on?
+
+Picks the two most spectrally distant corpus files (by band-profile
+distance), generates from each one's embedding, and scores each sample's
+profile distance to its OWN target vs the OTHER target — conditioning
+works iff own << other, and classifier-free guidance should tighten it.
+
+    python examples/profile_conditional_eval.py \
+        --model runs/profcond/model --data corpus \
+        --embeddings runs/profile_embs --steps 50 --scale 3.0
+    # distilled single-pass student: --scale 1.0 --steps 8
+"""
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--embeddings", required=True)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--scale", type=float, default=3.0)
+    ap.add_argument("--num", type=int, default=2,
+                    help="samples per target (different noise seeds)")
+    ap.add_argument("--crop", type=int, default=None)
+    ap.add_argument("--pair", nargs=2, default=None, metavar="STEM",
+                    help="evaluate this file pair instead of the most "
+                         "spectrally distant one")
+    ap.add_argument("--retrieval", type=int, default=0, metavar="N",
+                    help="retrieval mode: generate from N random targets' "
+                         "embeddings and report how often the sample's "
+                         "band profile is nearest its OWN target among "
+                         "all corpus profiles (top-1/top-5 accuracy)")
+    args = ap.parse_args()
+
+    if "JAX_COMPILATION_CACHE_DIR" not in __import__("os").environ:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+
+    from audio_diffusion_tpu.cli import _build_model, _load_run_config
+
+    class _Args:
+        model = args.model
+        preset = None
+        dtype = None
+
+    cfg, task, sample_rate, up = _load_run_config(_Args)
+    crop = args.crop or cfg.get("_crop") or 131072
+    model = _build_model(dict(cfg), "v", task, up)
+    c = cfg.get("in_channels", 2)
+    dummy_emb = jnp.zeros((1, cfg["embedding_max_length"],
+                           cfg["embedding_features"]))
+    model.initialize(jnp.zeros((1, c, crop)), embedding=dummy_emb)
+    model.load(args.model)
+
+    from audio_diffusion_tpu.data import wav_read
+    from audio_diffusion_tpu.eval import band_distance, band_profile
+
+    files = sorted(Path(args.data).glob("*.wav"))
+    profs = {f.stem: band_profile(wav_read(str(f)), sample_rate)
+             for f in files}
+    stems = list(profs)
+
+    def gen_profile(stem, seed):
+        emb_s = np.load(Path(args.embeddings) / f"{stem}.npy")
+        noise = jax.random.normal(jax.random.key(seed), (1, c, crop))
+        kw = dict(embedding=jnp.asarray(emb_s)[None], num_steps=args.steps)
+        if args.scale != 1.0:
+            kw["embedding_scale"] = args.scale
+        wav = np.asarray(model.sample(noise, **kw), np.float32)[0]
+        return band_profile(wav, sample_rate)
+
+    if args.retrieval:
+        rng = np.random.default_rng(0)
+        targets = list(rng.choice(stems, min(args.retrieval, len(stems)),
+                                  replace=False))
+        prof_mat = np.stack([profs[s] for s in stems])
+        top1 = top5 = 0
+        ranks = []
+        for tgt in targets:
+            for seed in range(args.num):
+                p = gen_profile(tgt, seed)
+                d = np.sqrt(((prof_mat - p) ** 2).mean(axis=1))
+                order = list(np.argsort(d))
+                rank = order.index(stems.index(tgt)) + 1
+                ranks.append(rank)
+                top1 += rank == 1
+                top5 += rank <= 5
+        n = len(ranks)
+        print(json.dumps({
+            "mode": "retrieval", "targets": len(targets), "num": args.num,
+            "steps": args.steps, "scale": args.scale,
+            "top1": round(top1 / n, 3), "top5": round(top5 / n, 3),
+            "mean_rank": round(float(np.mean(ranks)), 2),
+            "chance_top1": round(1 / len(stems), 3)}))
+        print("PC EVAL DONE")
+        return
+
+    if args.pair:
+        a, b = args.pair
+        d_ab = band_distance(profs[a], profs[b])
+    else:
+        # Most spectrally distant pair.
+        best = (None, None, -1.0)
+        for i, a in enumerate(stems):
+            for b in stems[i + 1:]:
+                d = band_distance(profs[a], profs[b])
+                if d > best[2]:
+                    best = (a, b, d)
+        a, b, d_ab = best
+    print(f"target pair: {a} vs {b} (profile distance {d_ab:.2f})")
+
+    emb = {s: np.load(Path(args.embeddings) / f"{s}.npy") for s in (a, b)}
+    scores = {}
+    for tgt, other in ((a, b), (b, a)):
+        own, cross = [], []
+        for seed in range(args.num):
+            noise = jax.random.normal(jax.random.key(seed), (1, c, crop))
+            kw = dict(embedding=jnp.asarray(emb[tgt])[None],
+                      num_steps=args.steps)
+            if args.scale != 1.0:
+                kw["embedding_scale"] = args.scale
+            wav = np.asarray(model.sample(noise, **kw), np.float32)[0]
+            p = band_profile(wav, sample_rate)
+            own.append(band_distance(p, profs[tgt]))
+            cross.append(band_distance(p, profs[other]))
+        scores[tgt] = {"own": round(float(np.mean(own)), 3),
+                       "other": round(float(np.mean(cross)), 3)}
+        print(f"conditioned on {tgt}: dist to own profile "
+              f"{scores[tgt]['own']:.3f}, to {other} "
+              f"{scores[tgt]['other']:.3f}")
+    ok = all(s["own"] < s["other"] for s in scores.values())
+    print(json.dumps({"pair": [a, b], "pair_distance": round(d_ab, 3),
+                      "steps": args.steps, "scale": args.scale,
+                      "scores": scores, "conditioning_works": ok}))
+    print("PC EVAL DONE")
+
+
+if __name__ == "__main__":
+    main()
