@@ -719,6 +719,24 @@ def _cmd_export(args) -> None:
         raise SystemExit(
             f"export drives unconditional models; a {task} model's array "
             "conditioning needs the Python API (export_sampler(**cond))")
+    cond = {}
+    if args.embedding is not None:
+        # Conditional artifact: the embedding becomes a traced INPUT of
+        # the exported program (shape taken from the example .npy, batched
+        # to the serving batch); serving hosts pass a matching array per
+        # call. --embedding-scale bakes guided two-pass sampling in;
+        # guided-distilled students omit it (single pass).
+        import jax
+        import numpy as np
+
+        emb = np.load(args.embedding)
+        cond["embedding"] = jax.ShapeDtypeStruct(
+            (args.batch_size,) + tuple(emb.shape), jnp.float32)
+        if args.embedding_scale is not None:
+            cond["embedding_scale"] = args.embedding_scale
+    elif args.embedding_scale is not None:
+        raise SystemExit("--embedding-scale needs --embedding (the "
+                         "example .npy that fixes the input shape)")
     # Param shapes are length-independent: build the tree at a short
     # length (fast), then export traces at the real serving length via
     # shape specs — no full-length forward compile at export time.
@@ -730,7 +748,7 @@ def _cmd_export(args) -> None:
     model.load(args.model)
     manifest = export_sampler(
         model, args.out, length=args.length, batch_size=args.batch_size,
-        num_steps=args.steps, sample_rate=sample_rate)
+        num_steps=args.steps, sample_rate=sample_rate, **cond)
     print(f"exported {manifest['noise_shape']} x {args.steps}-step "
           f"{args.sampler} sampler for platforms "
           f"{manifest['platforms']} to {args.out}")
@@ -1094,6 +1112,12 @@ def main(argv=None) -> None:
     x.add_argument("--sampler", choices=("v", "dpm"), default="v")
     x.add_argument("--sample-rate", type=int, default=None)
     x.add_argument("--dtype", choices=("bf16", "f32"), default="bf16")
+    x.add_argument("--embedding", default=None,
+                   help="example .npy fixing the conditional artifact's "
+                        "embedding input shape (batched to --batch-size)")
+    x.add_argument("--embedding-scale", type=float, default=None,
+                   help="bake guided two-pass CFG at this scale into the "
+                        "artifact (omit for guided-distilled students)")
     x.set_defaults(fn=_cmd_export)
 
     i = sub.add_parser("info", help="describe a training run (config, "

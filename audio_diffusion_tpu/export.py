@@ -22,7 +22,17 @@ the artifact are the full deployment payload. TPU-first consequences:
   loading an incompatible artifact fails loudly at deserialize time.
 
 Scalar conditioning (e.g. CFG ``embedding_scale``) is baked in at export
-time; array conditioning (text embeddings, channels) needs the Python API.
+time. Array conditioning (text/precomputed embeddings) becomes an INPUT of
+the artifact: pass an example array (or ``jax.ShapeDtypeStruct``) at
+export and the matching array per call —
+
+    export_sampler(model, "artifact/", length=2**17,
+                   embedding=jnp.zeros((1, 8, 32)), embedding_scale=3.0)
+    sampler, manifest = load_sampler("artifact/")
+    audio = sampler(params, noise, embedding=emb)
+
+so conditional models deploy model-code-free too (round 4; the distilled
+profile-conditional student serves this way).
 """
 from __future__ import annotations
 
@@ -62,8 +72,9 @@ def export_sampler(
     derivation — parameters are an *argument* of the artifact, not baked
     into it, so one artifact serves every checkpoint of the same config.
     ``**cond`` scalars (ints/floats/bools, e.g. ``embedding_scale=5.0``)
-    are closed over; arrays are rejected (export one program per scalar
-    config, pass array conditioning through the Python API).
+    are closed over; ``**cond`` ARRAYS (or ``jax.ShapeDtypeStruct``s)
+    become traced INPUTS of the artifact — the caller passes a matching
+    array per call (``sampler(params, noise, embedding=...)``).
 
     ``unroll`` (scan unroll factor) defaults to 1 — `model.sample`'s own
     default, which keeps the artifact BIT-exact with the live model on
@@ -74,28 +85,34 @@ def export_sampler(
     assert p is not None, (
         "initialize/load the model before exporting its sampler")
     clean = {}
+    array_specs: Dict[str, jax.ShapeDtypeStruct] = {}
     for k, v in cond.items():
-        if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0:
-            raise ValueError(
-                f"cond {k!r} is an array: only scalar conditioning can be "
-                "baked into an exported sampler (array conditioning needs "
-                "the Python API)")
-        # 0-dim numpy/jnp scalars would pass tracing but break the JSON
-        # manifest afterwards — coerce to Python scalars up front.
-        clean[k] = v.item() if hasattr(v, "item") else v
+        if isinstance(v, jax.ShapeDtypeStruct):
+            array_specs[k] = v
+        elif hasattr(v, "shape") and getattr(v, "ndim", 0) > 0:
+            v = jnp.asarray(v)
+            array_specs[k] = jax.ShapeDtypeStruct(v.shape, v.dtype)
+        else:
+            # 0-dim numpy/jnp scalars would pass tracing but break the
+            # JSON manifest afterwards — coerce to Python scalars up front.
+            clean[k] = v.item() if hasattr(v, "item") else v
     cond = clean
     c = channels if channels is not None else getattr(
         model.net, "in_channels", None)
     assert c is not None, "pass channels= (net does not declare in_channels)"
 
-    def fn(params_, noise_):
+    def fn(params_, noise_, *arrays_):
+        named = dict(zip(sorted(array_specs), arrays_))
         return model.sample_fn(params_, noise_, num_steps=num_steps,
-                               unroll=min(unroll, num_steps), **cond)
+                               unroll=min(unroll, num_steps), **cond,
+                               **named)
 
     params_spec = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), p)
     noise_spec = jax.ShapeDtypeStruct((batch_size, c, length), jnp.float32)
-    exported = jexport.export(jax.jit(fn))(params_spec, noise_spec)
+    ordered_specs = [array_specs[k] for k in sorted(array_specs)]
+    exported = jexport.export(jax.jit(fn))(params_spec, noise_spec,
+                                           *ordered_specs)
     blob = exported.serialize()
 
     manifest = {
@@ -107,6 +124,8 @@ def export_sampler(
         "sample_rate": (int(sample_rate) if sample_rate is not None
                         else None),
         "scalar_cond": dict(cond),
+        "array_cond": {k: {"shape": list(s.shape), "dtype": str(s.dtype)}
+                       for k, s in array_specs.items()},
         "jax_version": jax.__version__,
         "out_shape": list(exported.out_avals[0].shape),
         "out_dtype": str(exported.out_avals[0].dtype),
@@ -123,9 +142,11 @@ def export_sampler(
 
 def load_sampler(path) -> Tuple[Callable, Dict]:
     """Load an exported sampler: returns ``(sampler, manifest)`` where
-    ``sampler(params, noise)`` runs the deserialized program under jit.
-    The params tree must match the exporting config's structure (the
-    ``model.save``/orbax tree); noise must match the manifest's shape."""
+    ``sampler(params, noise, **array_cond)`` runs the deserialized program
+    under jit. The params tree must match the exporting config's structure
+    (the ``model.save``/orbax tree); noise must match the manifest's
+    shape; any ``array_cond`` declared in the manifest (e.g. a conditional
+    model's ``embedding``) is required by keyword."""
     src = Path(path)
     blob = (src / _BLOB_NAME).read_bytes()
     manifest = json.loads((src / _MANIFEST_NAME).read_text())
@@ -133,9 +154,14 @@ def load_sampler(path) -> Tuple[Callable, Dict]:
         raise ValueError(f"{src} is not an exported sampler artifact")
     exported = jexport.deserialize(blob)
     call = jax.jit(exported.call)
+    need = sorted(manifest.get("array_cond") or {})
 
-    def sampler(params, noise):
-        return call(params, noise)
+    def sampler(params, noise, **arrays):
+        if sorted(arrays) != need:
+            raise ValueError(
+                f"artifact requires array conditioning {need}, "
+                f"got {sorted(arrays)}")
+        return call(params, noise, *[arrays[k] for k in need])
 
     return sampler, manifest
 
@@ -172,6 +198,7 @@ class ArtifactSampler:
         b, c, t = self.manifest["noise_shape"]
         self.batch_size, self.in_channels, self.length = b, c, t
         self.sample_rate = self.manifest.get("sample_rate")
+        self.array_cond = dict(self.manifest.get("array_cond") or {})
 
     def sample(self, noise, *, num_steps: Optional[int] = None,
                params: Optional[Dict] = None, **cond):
@@ -179,11 +206,12 @@ class ArtifactSampler:
             raise ValueError(
                 f"artifact was exported at num_steps={self.num_steps}; "
                 f"per-request num_steps={num_steps} needs its own artifact")
-        if cond:
+        extra = set(cond) - set(self.array_cond)
+        if extra:
             raise ValueError(
-                f"conditioning {sorted(cond)} cannot be passed to an "
-                "exported sampler (scalars are baked at export time; "
-                "arrays need the Python API)")
+                f"conditioning {sorted(extra)} cannot be passed to this "
+                "artifact (scalars are baked at export time; the manifest "
+                f"declares array inputs {sorted(self.array_cond)})")
         p = params if params is not None else self.params
         assert p is not None, "pass params= (or set .params) before sampling"
         noise = jnp.asarray(noise)
@@ -191,4 +219,13 @@ class ArtifactSampler:
         if tuple(noise.shape) != want:
             raise ValueError(
                 f"artifact expects noise {want}, got {tuple(noise.shape)}")
-        return self._fn(p, noise)
+        for k, spec in self.array_cond.items():
+            if k not in cond:
+                raise ValueError(f"artifact requires {k}= "
+                                 f"(shape {spec['shape']})")
+            got = tuple(jnp.asarray(cond[k]).shape)
+            if got != tuple(spec["shape"]):
+                raise ValueError(
+                    f"{k} shape {got} != exported {tuple(spec['shape'])}")
+        return self._fn(p, noise, **{k: jnp.asarray(v)
+                                     for k, v in cond.items()})

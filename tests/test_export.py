@@ -59,15 +59,50 @@ def test_export_guards(tmp_path):
                            modulation_features=32)
     with pytest.raises(AssertionError, match="initialize"):
         export_sampler(model, tmp_path / "a", length=256)
-    model.initialize(jnp.zeros((1, 1, 256)))
-    with pytest.raises(ValueError, match="array"):
-        export_sampler(model, tmp_path / "a", length=256,
-                       embedding=jnp.zeros((1, 4, 8)))
     (tmp_path / "junk").mkdir()
     (tmp_path / "junk" / "manifest.json").write_text("{}")
     (tmp_path / "junk" / "sampler.stablehlo").write_bytes(b"")
     with pytest.raises(ValueError, match="not an exported sampler"):
         load_sampler(tmp_path / "junk")
+
+
+def test_export_conditional_roundtrip(tmp_path):
+    """Array conditioning is a traced INPUT of the artifact: a CFG model
+    exports with an embedding input (+ baked guidance scale) and the
+    loaded program reproduces the live model bit-exactly."""
+    emb = jax.random.normal(jax.random.key(3), (2, 4, 16))
+    model = DiffusionModel(
+        net_t=UNetV0, in_channels=1, channels=[8, 16], factors=[1, 2],
+        items=[1, 1], cross_attentions=[0, 1], attention_heads=2,
+        attention_features=8, modulation_features=32,
+        embedding_features=16, use_embedding_cfg=True,
+        embedding_max_length=4)
+    model.initialize(jnp.zeros((2, 1, 256)), embedding=emb)
+    manifest = export_sampler(
+        model, tmp_path / "cart", length=256, batch_size=2, num_steps=3,
+        embedding=jnp.zeros((2, 4, 16)), embedding_scale=3.0)
+    assert manifest["array_cond"] == {
+        "embedding": {"shape": [2, 4, 16], "dtype": "float32"}}
+    assert manifest["scalar_cond"] == {"embedding_scale": 3.0}
+
+    sampler, _ = load_sampler(tmp_path / "cart")
+    noise = jax.random.normal(jax.random.key(0), (2, 1, 256), jnp.float32)
+    want = np.asarray(model.sample(noise, num_steps=3, embedding=emb,
+                                   embedding_scale=3.0))
+    got = np.asarray(sampler(model.params, noise, embedding=emb))
+    np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError, match="requires array conditioning"):
+        sampler(model.params, noise)
+
+    from audio_diffusion_tpu.export import ArtifactSampler
+
+    art = ArtifactSampler(tmp_path / "cart", model.params)
+    np.testing.assert_array_equal(
+        np.asarray(art.sample(noise, embedding=emb)), want)
+    with pytest.raises(ValueError, match="requires embedding"):
+        art.sample(noise)
+    with pytest.raises(ValueError, match="shape"):
+        art.sample(noise, embedding=emb[:1])
 
 
 def test_artifact_sampler_serves_without_model_code(tmp_path):
