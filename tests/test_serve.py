@@ -278,3 +278,40 @@ def test_pcm16_result_format(model):
                      -32768, 32767).astype(np.int16)
     # round-half ties may differ by 1 LSB between device and numpy.
     assert np.abs(pcm.astype(np.int32) - expect.astype(np.int32)).max() <= 1
+
+
+def test_conditional_artifact_serving(tmp_path):
+    """A guided-distilled-style CONDITIONAL artifact (embedding as traced
+    input) serves through GenerationService: per-request embeddings batch
+    into the artifact's fixed shape, model-code-free."""
+    from audio_diffusion_tpu.export import ArtifactSampler, export_sampler
+
+    emb_b2 = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 4, 16)), jnp.float32)
+    m = DiffusionModel(
+        net_t=UNetV0, in_channels=2, channels=[8, 16], factors=[1, 2],
+        items=[1, 1], cross_attentions=[0, 1], attention_heads=2,
+        attention_features=8, modulation_features=32,
+        embedding_features=16, use_embedding_cfg=True,
+        embedding_max_length=4)
+    m.initialize(jnp.zeros((2, 2, 256)), embedding=emb_b2)
+    export_sampler(m, tmp_path / "art", length=256, batch_size=2,
+                   num_steps=2, embedding=jnp.zeros((2, 4, 16)))
+
+    art = ArtifactSampler(tmp_path / "art", m.params)
+    with GenerationService(art, num_steps=2, batch_size=2,
+                           max_wait_ms=200.0) as svc:
+        noise = np.random.default_rng(0).standard_normal(
+            (2, 256)).astype(np.float32)
+        f1 = svc.submit(noise, embedding=np.asarray(emb_b2[0]))
+        f2 = svc.submit(noise, embedding=np.asarray(emb_b2[1]))
+        o1, o2 = f1.result(timeout=300), f2.result(timeout=300)
+    assert o1.shape == o2.shape == (2, 256)
+    assert np.isfinite(o1).all() and np.isfinite(o2).all()
+    assert np.abs(o1 - o2).max() > 0  # embeddings actually conditioned
+    assert svc.stats["batches"] == 1
+    # Bit-exact vs the live model's single-pass conditional sampling.
+    want = np.asarray(m.sample(
+        jnp.asarray(np.stack([noise, noise])), num_steps=2,
+        embedding=emb_b2))
+    np.testing.assert_array_equal(np.stack([o1, o2]), want)
