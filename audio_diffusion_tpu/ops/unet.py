@@ -113,12 +113,12 @@ def _check_unused_kwargs(unused: dict) -> None:
     reuse = {"hidden", "return_hidden"} & unused.keys()
     if reuse:
         # Hard error: a sampler asking for encoder reuse against a net that
-        # would silently ignore it (dim=2/3 U-Nets) must not mis-unpack the
-        # output as (v, enc).
+        # would silently ignore it must not mis-unpack the output as
+        # (v, enc). All in-tree XUNets (dim 1/2/3) implement reuse; this
+        # guards custom nets that don't.
         raise TypeError(
-            f"{sorted(reuse)}: this net does not implement encoder reuse "
-            "(only the 1-D XUNet does); drop encoder_reuse from the "
-            "sampler call")
+            f"{sorted(reuse)}: this net does not implement encoder reuse; "
+            "drop encoder_reuse from the sampler call")
     unknown = set(unused) - {"key"}
     if unknown:
         import warnings

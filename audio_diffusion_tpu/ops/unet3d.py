@@ -211,8 +211,13 @@ class XUNet3d(nn.Module):
         features: Optional[Array] = None,
         embedding: Optional[Array] = None,
         channels: Optional[Sequence[Optional[Array]]] = None,
+        hidden: Optional[Tuple] = None,
+        return_hidden: bool = False,
         **unused_kwargs,
     ) -> Array:
+        """``hidden`` / ``return_hidden``: encoder reuse with the same
+        contract as the 1-D XUNet (ops/unet.py:620-629); samplers drive
+        this via ``encoder_reuse=k``."""
         from .unet import _check_unused_kwargs
 
         _check_unused_kwargs(unused_kwargs)
@@ -247,18 +252,27 @@ class XUNet3d(nn.Module):
                 attention_features=self.attention_features,
                 name=name, **common)
 
-        h = jnp.moveaxis(x, 1, -1)  # [B, D, H, W, C]
-        if self.dtype is not None:
-            h = h.astype(self.dtype)
+        if hidden is not None:
+            # Decoder-only pass: reuse a cached encoder state; the down-path
+            # modules are simply not visited (flax resolves up-path modules
+            # by name, so the SAME params tree serves both modes).
+            h, skips_t = hidden
+            skips = list(skips_t)
+        else:
+            h = jnp.moveaxis(x, 1, -1)  # [B, D, H, W, C]
+            if self.dtype is not None:
+                h = h.astype(self.dtype)
 
-        skips = []
-        for i in range(num_levels):
-            h = Downsample3d(self.channels[i], self.factors[i],
-                             name=f"down_{i}", **common)(h)
-            h = stack(i, f"items_down_{i}")(h, features, embedding,
-                                            contexts[i])
-            if i < num_levels - 1:
-                skips.append(h)
+            skips = []
+            for i in range(num_levels):
+                h = Downsample3d(self.channels[i], self.factors[i],
+                                 name=f"down_{i}", **common)(h)
+                h = stack(i, f"items_down_{i}")(h, features, embedding,
+                                                contexts[i])
+                if i < num_levels - 1:
+                    skips.append(h)
+
+        enc = (h, tuple(skips))  # captured BEFORE the up loop pops skips
 
         for i in reversed(range(num_levels)):
             if i < num_levels - 1:
@@ -282,4 +296,5 @@ class XUNet3d(nn.Module):
                          **common)(h)
         h = nn.silu(h)
         h = Conv3d(self.out_channels, name="proj_out", **common)(h)
-        return jnp.moveaxis(h, -1, 1).astype(x.dtype)
+        out = jnp.moveaxis(h, -1, 1).astype(x.dtype)
+        return (out, enc) if return_hidden else out

@@ -105,16 +105,67 @@ def test_encoder_reuse_with_cfg_guidance():
     assert np.isfinite(np.asarray(guided_fast)).all()
 
 
-def test_encoder_reuse_rejected_on_2d_nets():
-    """Nets without the reuse hooks must error loudly, not mis-unpack."""
-    from audio_diffusion_tpu import UNetV0  # dim=2 routes to unet2d
-
-    model = DiffusionModel(net_t=UNetV0, dim=2, in_channels=1,
+@pytest.mark.parametrize("dim,shape", [(2, (2, 1, 16, 16)),
+                                       (3, (2, 1, 8, 8, 8))])
+def test_hidden_roundtrip_exact_2d_3d(dim, shape):
+    """dim=2/3 XUNets implement the same reuse contract as the 1-D net:
+    decoding from hidden captured at the SAME (x, σ) is bit-exact."""
+    model = DiffusionModel(net_t=UNetV0, dim=dim, in_channels=1,
                            channels=[8, 16], factors=[1, 2], items=[1, 1],
                            modulation_features=32)
-    x = jnp.zeros((1, 1, 16, 16))
-    model.initialize(x)
-    noise = jax.random.normal(jax.random.key(7), (1, 1, 16, 16))
+    model.initialize(jnp.zeros(shape))
+    net, params = model.net, model.params["net"]
+    x = jax.random.normal(jax.random.key(0), shape)
+    sig = jnp.full((shape[0],), 0.4)
+    full, enc = net.apply(params, x, sig, return_hidden=True)
+    again = net.apply(params, x, sig, hidden=enc)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(again))
+
+
+@pytest.mark.parametrize("dim,shape", [(2, (1, 1, 16, 16)),
+                                       (3, (1, 1, 8, 8, 8))])
+def test_encoder_reuse_sampling_2d_3d(dim, shape):
+    model = DiffusionModel(net_t=UNetV0, dim=dim, in_channels=1,
+                           channels=[8, 16], factors=[1, 2], items=[1, 1],
+                           modulation_features=32)
+    model.initialize(jnp.zeros(shape))
+    noise = jax.random.normal(jax.random.key(7), shape)
+    exact = np.asarray(model.sample(noise, num_steps=8))
+    same = np.asarray(model.sample(noise, num_steps=8, encoder_reuse=1))
+    np.testing.assert_array_equal(exact, same)
+    fast = np.asarray(model.sample(noise, num_steps=8, encoder_reuse=2))
+    assert fast.shape == exact.shape
+    assert np.isfinite(fast).all()
+    denom = float(np.sqrt((exact ** 2).mean()))
+    rel = float(np.sqrt(((fast - exact) ** 2).mean())) / max(denom, 1e-9)
+    assert rel < 0.5, rel
+    assert float(np.abs(fast - exact).max()) > 0
+
+
+def test_encoder_reuse_rejected_on_nets_without_hooks():
+    """Custom nets without the reuse hooks must error loudly, not
+    mis-unpack the (v, enc) tuple."""
+    import flax.linen as nn
+
+    from audio_diffusion_tpu.ops.net import Net
+    from audio_diffusion_tpu.ops.unet import _check_unused_kwargs
+
+    class NoReuse(nn.Module):
+        @nn.compact
+        def __call__(self, x, sigmas=None, **kw):
+            _check_unused_kwargs(kw)
+            return x * self.param("g", lambda k: jnp.ones(()))
+
+    def net_t(dim=1, in_channels=2, **kwargs):
+        return Net(NoReuse(), in_channels=in_channels,
+                   out_channels=in_channels, uses_sigma=True,
+                   compute_dtype=None)
+
+    model = DiffusionModel(net_t=net_t, in_channels=2, channels=[8],
+                           factors=[1], items=[1])
+    model.initialize(jnp.zeros((1, 2, 16)))
+    noise = jax.random.normal(jax.random.key(7), (1, 2, 16))
+    assert np.isfinite(np.asarray(model.sample(noise, num_steps=4))).all()
     with pytest.raises(TypeError, match="encoder reuse"):
         model.sample(noise, num_steps=4, encoder_reuse=2)
 
