@@ -7,9 +7,17 @@ transients over a tempo grid, and filtered-noise sweeps. Each file mixes a
 random subset, so the corpus has shared statistics (scales, tempo, timbre
 families) a diffusion model can learn, while files stay distinct.
 
+``--style`` picks the generator family — statistically DISTINCT corpora for
+cross-corpus quality studies (PERFORMANCE.md encoder-reuse):
+
+- ``music`` (default): tonal/harmonic — pads, plucked melodies, FM bass.
+- ``percussive``: broadband transients — drums, tom fills, click trains,
+  noise sweeps; no sustained tonal content.
+
 Usage::
 
     python examples/make_corpus.py --out /tmp/corpus --files 32 --seconds 10
+    python examples/make_corpus.py --out corpus_perc --style percussive
 """
 from __future__ import annotations
 
@@ -110,15 +118,48 @@ def noise_sweep(rng, n):
     return (lo - np.concatenate([[0], lo[:-1]])) * 2.0 * 0.3
 
 
+def clicks(rng, n):
+    """Clap/click train: broadband bursts with random micro-timing."""
+    out = np.zeros(n, np.float32)
+    t_c = np.arange(int(0.03 * SR)) / SR
+    n_events = int(rng.uniform(2.0, 8.0) * n / SR)
+    for _ in range(n_events):
+        start = int(rng.integers(0, max(n - len(t_c), 1)))
+        burst = rng.standard_normal(len(t_c)).astype(np.float32) \
+            * np.exp(-t_c * rng.uniform(100, 400), dtype=np.float32)
+        out[start:start + len(burst)] += burst * rng.uniform(0.2, 0.5)
+    return out
+
+
+def tom_fill(rng, n):
+    """Pitched drum hits over a tempo grid (decaying-pitch sine bursts)."""
+    out = np.zeros(n, np.float32)
+    beat = int(SR * 60 / rng.choice([100, 130, 160]) / 2)
+    t_h = np.arange(int(0.15 * SR)) / SR
+    for start in range(0, n, beat):
+        if rng.random() > 0.7:
+            continue  # syncopation: drop ~30% of grid slots
+        f = rng.choice([80.0, 110.0, 150.0, 200.0])
+        hit = np.sin(2 * np.pi * (f + 30 * np.exp(-t_h * 25)) * t_h) \
+            * np.exp(-t_h * rng.uniform(10, 25))
+        seg = min(len(hit), n - start)
+        out[start:start + seg] += hit[:seg].astype(np.float32) * 0.4
+    return out
+
+
 GENERATORS = (chord_pad, melody, fm_bass, drums, noise_sweep)
+STYLES = {
+    "music": GENERATORS,
+    "percussive": (drums, tom_fill, clicks, noise_sweep),
+}
 
 
-def make_file(rng, seconds):
+def make_file(rng, seconds, gens=GENERATORS):
     n = int(seconds * SR)
-    picks = rng.choice(len(GENERATORS), rng.integers(2, 4), replace=False)
+    picks = rng.choice(len(gens), rng.integers(2, 4), replace=False)
     mono = np.zeros(n, np.float32)
     for gi in picks:
-        mono += GENERATORS[gi](rng, n)
+        mono += gens[gi](rng, n)
     # Stereo: mid/side with a slowly moving pan.
     pan = 0.2 * np.sin(2 * np.pi * rng.uniform(0.05, 0.2)
                        * np.arange(n) / SR).astype(np.float32)
@@ -133,15 +174,17 @@ def main(argv=None):
     ap.add_argument("--files", type=int, default=32)
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--style", choices=sorted(STYLES), default="music")
     args = ap.parse_args(argv)
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     for i in range(args.files):
         rng = np.random.default_rng(args.seed * 10_000 + i)
-        wav_write(out / f"corpus_{i:03d}.wav", make_file(rng, args.seconds),
-                  SR)
+        wav_write(out / f"corpus_{i:03d}.wav",
+                  make_file(rng, args.seconds, STYLES[args.style]), SR)
         print(f"wrote {i + 1}/{args.files}", end="\r", flush=True)
-    print(f"\n{args.files} files x {args.seconds}s stereo @ {SR} Hz -> {out}")
+    print(f"\n{args.files} files x {args.seconds}s {args.style} stereo @ "
+          f"{SR} Hz -> {out}")
 
 
 if __name__ == "__main__":
