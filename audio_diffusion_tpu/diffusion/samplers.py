@@ -72,7 +72,11 @@ class VSampler(Sampler):
         Li et al., arXiv:2312.09608 — PAPERS.md). Approximate: adjacent
         steps' encoder features are nearly identical, so small k trades a
         measured-per-model quality delta for skipping ~45% of reuse-step
-        FLOPs. k=1 (default) is the exact reference sampler."""
+        FLOPs. k=1 (default) is the exact reference sampler. Measured
+        guidance (set-level Fréchet band distance, two corpora —
+        PERFORMANCE.md r4): k=2 is quality-neutral; k≥5 measurably
+        reduces set-level fidelity and sample diversity — measure per
+        model before shipping."""
         b = x_noisy.shape[0]
         # Cast f32 master params to the compute dtype once, outside the scan
         # (guarantees the converts never run per step regardless of XLA's
