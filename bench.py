@@ -210,8 +210,8 @@ def main():
     print(f"diag: encoder-reuse k=2 sampling "
           f"{1000*er_elapsed/(reps*NUM_STEPS):.2f} ms/step "
           f"({NUM_STEPS*reps/er_elapsed:.1f} steps/s; approximate sampler, "
-          "in-distribution quality flat — PERFORMANCE.md r4)",
-          file=sys.stderr)
+          "k=2 set-level quality neutral on two corpora — "
+          "PERFORMANCE.md r4)", file=sys.stderr)
 
     # Secondary diagnostic: the distilled flagship (64->8 progressive
     # distillation, PERFORMANCE.md r4) when its params are on disk — the
