@@ -31,6 +31,7 @@ __all__ = [
     "conv1x1_to_dense",
     "linear_to_dense",
     "import_unet_params",
+    "validate_imported_params",
 ]
 
 
@@ -171,6 +172,79 @@ def _xunet(mod) -> Dict:
                 # TSkipModulate: a zero-init gate nn.Dense named Dense_0.
                 tree[name] = {"Dense_0": _dense_from_linear(child.Dense_0)}
     return tree
+
+
+def _flatten_shapes(tree, prefix="") -> Dict[str, tuple]:
+    out: Dict[str, tuple] = {}
+    for k in tree:
+        path = f"{prefix}/{k}" if prefix else str(k)
+        v = tree[k]
+        if hasattr(v, "keys"):
+            out.update(_flatten_shapes(v, path))
+        else:
+            out[path] = tuple(v.shape)
+    return out
+
+
+def _register_hint(path: str, got: tuple, want: tuple) -> str:
+    """Map a shape mismatch to the PARITY.md geometry-risk register row
+    that most plausibly explains it (the register's 'plausible alternative'
+    readings of a-unet), so a failed real-weights import is actionable."""
+    leaf = path.rsplit("/", 1)[-1]
+    if "/down_" in path or path.startswith("down_"):
+        if (len(got) == len(want) == 2 and got[1] == want[1]
+                and want[0] and got[0] == 2 * want[0]):
+            return (" — PARITY.md register row 2: source downsample uses "
+                    "OVERLAPPING kernels (kernel=2*factor); this build "
+                    "assumes non-overlapping kernel=factor patches")
+        if len(got) == len(want) == 2 and got[1] != want[1]:
+            return (" — PARITY.md register row 1: source resampling looks "
+                    "width-preserving (channel change lives in the level's "
+                    "first resnet); rebuild with "
+                    "UNetV0(channel_change='first_item', lane_fold=False)")
+    if "conv1_kernel" in leaf and len(got) == len(want) == 3 \
+            and got[1] != want[1]:
+        return (" — PARITY.md register row 1: first-resnet input width "
+                "differs — source changes channels inside the resnet; "
+                "rebuild with UNetV0(channel_change='first_item', "
+                "lane_fold=False)")
+    if "FeedForward" in path and "Dense_0" in path and len(got) >= 1 \
+            and len(want) >= 1 and got[-1] == 2 * want[-1]:
+        return (" — PARITY.md register row 4: source feed-forward is GEGLU "
+                "(first Dense doubled for the gate); this build uses a "
+                "plain 2-layer MLP")
+    return ""
+
+
+def validate_imported_params(imported, expected) -> None:
+    """Shape-check an imported tree against the target net's params.
+
+    Raises ``ValueError`` listing EVERY missing / unexpected /
+    shape-mismatched leaf by its module path, each annotated with the
+    PARITY.md geometry-risk register row that plausibly explains it — so
+    importing a real a-unet state_dict that embodies an alternative
+    geometry reading fails actionably (naming the misread module), not
+    opaquely at apply time. ``expected`` is the matching net's own
+    parameter tree (``model.params['net']``)."""
+    imp, exp = _flatten_shapes(imported), _flatten_shapes(expected)
+    problems = []
+    for path in sorted(set(imp) | set(exp)):
+        got, want = imp.get(path), exp.get(path)
+        if got is None:
+            problems.append(f"missing from import: {path} "
+                            f"(net expects shape {want})")
+        elif want is None:
+            problems.append(f"unexpected in import: {path} shape {got}")
+        elif got != want:
+            problems.append(
+                f"shape mismatch at {path}: imported {got} vs net {want}"
+                + _register_hint(path, got, want))
+    if problems:
+        raise ValueError(
+            f"imported parameter tree does not match the net "
+            f"({len(problems)} problem(s)):\n  " + "\n  ".join(problems)
+            + "\nSee the PARITY.md geometry-risk register for the likely "
+            "alternative a-unet reading behind each mismatch.")
 
 
 def import_unet_params(oracle) -> Dict:
