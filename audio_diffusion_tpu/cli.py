@@ -27,9 +27,12 @@ __all__ = ["main"]
 
 
 # Named presets this CLI can drive end-to-end, mapped to their task.
-# TEXT_CONDITIONAL needs caption plumbing and remains Python-API-only.
+# TEXT_CONDITIONAL trains from sidecar captions (train --caption-dir:
+# one <wav stem>.txt per corpus file) through the pluggable text-encoder
+# interface, then samples with `sample --text "..."`.
 _CLI_PRESETS = {
     "UNCONDITIONAL_48K": "unconditional",
+    "TEXT_CONDITIONAL_48K": "unconditional",
     "UPSAMPLER_16X": "upsampler",
     "VOCODER_48K": "vocoder",
     "AUTOENCODER_48K": "autoencoder",
@@ -90,12 +93,43 @@ def _enable_compile_cache() -> None:
     jax.config.update("jax_compilation_cache_dir", str(cache))
 
 
+def _make_text_encoder(spec: Dict, cfg: Dict):
+    """Build the pluggable text encoder a run recorded (``_text_encoder``
+    in config.json) or the user requested (train --text-encoder). The
+    encoder's max_length/features default to the net's declared embedding
+    geometry so the two can't drift apart."""
+    from .ops import text as text_mod
+
+    kind = spec.get("kind", "t5")
+    max_length = spec.get("max_length",
+                          cfg.get("embedding_max_length", 64))
+    features = spec.get("features", cfg.get("embedding_features", 768))
+    if kind == "t5":
+        return text_mod.T5TextEncoder(spec.get("model_name", "t5-base"),
+                                      max_length=max_length)
+    if kind == "random":
+        return text_mod.RandomT5TextEncoder(max_length=max_length,
+                                            features=features)
+    if kind == "stub":
+        return text_mod.StubTextEncoder(max_length=max_length,
+                                        features=features)
+    raise SystemExit(f"unknown text encoder kind {kind!r}: "
+                     "pass t5, random, or stub")
+
+
 def _build_model(cfg: Dict, sampler: str, task: str = "unconditional",
                  upsample_factor: Optional[int] = None):
     import jax.numpy as jnp
 
     from . import (DiffusionModel, DiffusionUpsampler, DiffusionVocoder,
                    DPMSampler, UNetV0, VSampler)
+
+    # Pluggable text encoder (recorded by train --caption-dir). Built
+    # HERE so `sample --text` / text-conditional training never fall back
+    # to the T5 default (which needs a local HF cache) by surprise.
+    text_spec = cfg.pop("_text_encoder", None)
+    if text_spec is not None and task == "unconditional":
+        cfg["text_encoder"] = _make_text_encoder(text_spec, cfg)
 
     # Compute dtype (master params stay f32 either way). bf16 is the TPU
     # production setting (every PERFORMANCE.md number); configs record it
@@ -194,6 +228,27 @@ def _paired_embedding_feed(ds, embedding_dir):
     return paired()
 
 
+def _caption_table(ds, caption_dir, encoder):
+    """Sidecar captions (DIR/<wav stem>.txt, one per corpus file) encoded
+    ONCE into a [files, max_length, features] table — the text-conditional
+    training path (train --caption-dir): each crop rides with its file's
+    caption embedding, so training needs no per-batch encoder calls and
+    the same trained model serves `sample --text` through the identical
+    encoder (recorded in config.json)."""
+    import numpy as np
+
+    cap_dir = Path(caption_dir)
+    missing = [f.stem for f in ds.files
+               if not (cap_dir / f"{f.stem}.txt").exists()]
+    if missing:
+        raise SystemExit(
+            f"--caption-dir is missing .txt for: {', '.join(missing[:5])}"
+            + (f" (+{len(missing) - 5} more)" if len(missing) > 5 else ""))
+    captions = [(cap_dir / f"{f.stem}.txt").read_text().strip()
+                for f in ds.files]
+    return np.asarray(encoder(captions), np.float32), captions
+
+
 def _cmd_train(args) -> None:
     _enable_compile_cache()
     import jax.numpy as jnp
@@ -202,7 +257,22 @@ def _cmd_train(args) -> None:
     from .train import Trainer, TrainerConfig
 
     mesh = create_mesh()
-    if args.embedding_dir is not None:
+    if args.embedding_dir is not None and args.caption_dir is not None:
+        raise SystemExit("pass --embedding-dir OR --caption-dir, not both")
+    if args.caption_dir is not None:
+        # Sidecar captions (x.wav + x.txt) through the pluggable text
+        # encoder — the reference's T5 workflow (README.md:47-76), CLI-
+        # complete offline: --text-encoder random/stub substitutes until
+        # real T5 weights are cached. Host data path like --embedding-dir.
+        from .data import AudioDataset
+
+        ds = AudioDataset(args.data, crop_frames=args.crop,
+                          batch_size=args.batch, seed=args.seed,
+                          return_indices=True)
+        print(f"dataset: {len(ds.files)} files, {ds.channels} ch @ "
+              f"{ds.sample_rate} Hz, crop {args.crop}, sidecar captions "
+              f"from {args.caption_dir} ({args.text_encoder} encoder)")
+    elif args.embedding_dir is not None:
         # Paired precomputed embeddings (text-conditional training without
         # a local T5): one DIR/<wav stem>.npy per corpus file; each crop's
         # embedding rides the batch as an (x, cond) tuple. Host data path
@@ -233,6 +303,23 @@ def _cmd_train(args) -> None:
         # The AR context window is the training crop.
         cfg["_length"] = args.crop
         cfg.setdefault("_num_splits", args.num_splits)
+    if args.caption_dir is not None:
+        if not any(cfg.get("cross_attentions") or []):
+            raise SystemExit(
+                "--caption-dir needs a text-conditional config "
+                "(cross_attentions + embedding features — e.g. --preset "
+                "TEXT_CONDITIONAL_48K or a JSON config declaring them)")
+        # Record the encoder choice so `sample --text` rebuilds the SAME
+        # encoder (t5 when a local HF cache exists; random/stub offline).
+        cfg["_text_encoder"] = {
+            "kind": args.text_encoder,
+            "max_length": cfg.get("embedding_max_length", 64),
+            "features": cfg.get("embedding_features", 768)}
+    elif cfg.get("use_text_conditioning") and args.embedding_dir is None:
+        raise SystemExit(
+            "this config is text-conditional: train it with --caption-dir "
+            "(sidecar x.txt captions) or --embedding-dir (precomputed "
+            ".npy embeddings)")
     cfg.setdefault("_dtype", args.dtype)
     model = _build_model(dict(cfg), "v", task, args.upsample_factor)
     model.initialize(jnp.zeros((1, ds.channels, args.crop)),
@@ -274,7 +361,17 @@ def _cmd_train(args) -> None:
         print(f"resumed from step {resumed}; {remaining} steps remain")
     feed = iter(ds)
     fit_cond: Dict = {}
-    if args.embedding_dir is not None:
+    if args.caption_dir is not None:
+        table, _ = _caption_table(ds, args.caption_dir,
+                                  model.net.text_encoder)
+
+        def caption_feed():
+            for x, idx in ds:
+                yield x, {"embedding": table[idx]}
+
+        feed = caption_feed()
+        fit_cond["embedding_mask_proba"] = args.embedding_mask_proba
+    elif args.embedding_dir is not None:
         feed = _paired_embedding_feed(ds, args.embedding_dir)
         # CFG training: drop the embedding at this rate so the null
         # branch learns (reference README.md:70 embedding_mask_proba).
@@ -443,6 +540,7 @@ def _cmd_sample(args) -> None:
     if task != "unconditional":
         # Refuse, rather than silently ignore, unconditional-only flags.
         bad = [f for f, v in [("--embedding", args.embedding),
+                              ("--text", args.text),
                               ("--inpaint", args.inpaint),
                               ("--total-length", args.total_length)]
                if v is not None]
@@ -528,11 +626,27 @@ def _cmd_sample(args) -> None:
               f"{sample_rate} Hz)")
         return
 
-    # Precomputed text/CLAP embeddings (.npy): the deployment path for
-    # text-conditional models trained via the Python API — the frozen-T5
-    # encode happens wherever embeddings were produced, not here.
+    # Conditioning: --text encodes a caption through the run's recorded
+    # text encoder (train --caption-dir); --embedding loads precomputed
+    # .npy arrays (the deployment path when embeddings were produced
+    # elsewhere). Both feed the same embedding= input; encoding happens
+    # HERE (host-side, once), so every downstream path — plain sampling,
+    # --inpaint, --total-length long-form — conditions identically.
     cond = {}
-    if args.embedding is not None:
+    if args.text is not None and args.embedding is not None:
+        raise SystemExit("pass --text OR --embedding, not both")
+    if args.text is not None:
+        encoder = getattr(model.net, "text_encoder", None)
+        if encoder is None:
+            raise SystemExit(
+                "--text needs a text-conditional run (train with "
+                "--caption-dir, or a config with use_text_conditioning "
+                "and a recorded _text_encoder)")
+        cond["embedding"] = np.repeat(
+            np.asarray(encoder([args.text]), np.float32), args.num, 0)
+        if args.embedding_scale is not None:
+            cond["embedding_scale"] = args.embedding_scale
+    elif args.embedding is not None:
         emb = np.load(args.embedding)
         if emb.ndim == 2:  # [tokens, features] -> same text for every sample
             emb = np.repeat(emb[None], args.num, 0)
@@ -544,7 +658,7 @@ def _cmd_sample(args) -> None:
         if args.embedding_scale is not None:
             cond["embedding_scale"] = args.embedding_scale
     elif args.embedding_scale is not None:
-        raise SystemExit("--embedding-scale needs --embedding")
+        raise SystemExit("--embedding-scale needs --embedding or --text")
 
     if args.inpaint is not None:
         # RePaint inpainting (reference README.md:182-204 usage): the
@@ -943,6 +1057,19 @@ def main(argv=None) -> None:
     t.add_argument("--num-splits", type=int, default=4,
                    help="ar task: σ-ladder splits of the --crop context "
                         "window")
+    t.add_argument("--caption-dir", default=None, metavar="DIR",
+                   help="sidecar captions: one DIR/<wav stem>.txt per "
+                        "corpus file, encoded once through --text-encoder "
+                        "and paired with that file's crops (the reference "
+                        "T5 workflow, CLI-complete; needs a text-"
+                        "conditional config, e.g. TEXT_CONDITIONAL_48K)")
+    t.add_argument("--text-encoder", choices=("t5", "random", "stub"),
+                   default="t5",
+                   help="caption encoder: t5 = frozen t5-base from the "
+                        "local HF cache; random = real T5 architecture "
+                        "with frozen random weights (offline); stub = "
+                        "hash embeddings (tests). Recorded in config.json "
+                        "so `sample --text` reuses the same encoder")
     t.add_argument("--embedding-dir", default=None,
                    help="directory of per-file .npy embeddings "
                         "(<wav stem>.npy, [tokens, features]): trains a "
@@ -991,6 +1118,10 @@ def main(argv=None) -> None:
     s.add_argument("--resamples", type=int, default=2,
                    help="RePaint harmonization resamples per step for "
                         "--total-length windows")
+    s.add_argument("--text", default=None, metavar="CAPTION",
+                   help="text prompt, encoded through the run's recorded "
+                        "text encoder (train --caption-dir); combine with "
+                        "--embedding-scale for classifier-free guidance")
     s.add_argument("--embedding", default=None,
                    help=".npy of precomputed text/conditioning embeddings "
                         "([tokens, features] broadcast to --num, or "

@@ -501,6 +501,66 @@ def test_cli_sample_with_precomputed_embedding(tmp_path):
               "--embedding-scale", "3.0"])
 
 
+def test_cli_caption_workflow_end_to_end(tiny_setup):
+    """The captioned-text workflow, CLI-complete (VERDICT r4 #6): sidecar
+    x.txt captions train a text-conditional model through the pluggable
+    encoder (stub offline), the encoder choice is recorded, and
+    `sample --text` + CFG scale generate from a caption."""
+    data, _, tmp = tiny_setup
+    caps = tmp / "caps"
+    caps.mkdir()
+    for i, text in enumerate(["warm pad", "snare roll", "low drone"]):
+        (caps / f"{i}.txt").write_text(text + "\n")
+    cfg = tmp / "txt.json"
+    cfg.write_text(json.dumps(dict(
+        in_channels=1, channels=[8, 16], factors=[1, 4], items=[1, 1],
+        cross_attentions=[0, 1], attention_heads=2, attention_features=8,
+        modulation_features=32, use_text_conditioning=True,
+        use_embedding_cfg=True, embedding_max_length=8,
+        embedding_features=16)))
+    run = tmp / "run_cap"
+    main(["train", "--data", str(data), "--preset", str(cfg),
+          "--out", str(run), "--steps", "2", "--batch", "2",
+          "--crop", "512", "--caption-dir", str(caps),
+          "--text-encoder", "stub", "--log-every", "2",
+          "--checkpoint-every", "9"])
+    recorded = json.loads((run / "config.json").read_text())
+    assert recorded["_text_encoder"] == {
+        "kind": "stub", "max_length": 8, "features": 16}
+
+    out = tmp / "cap_samples"
+    main(["sample", "--model", str(run / "model"), "--out", str(out),
+          "--num", "2", "--steps", "2", "--length", "512",
+          "--text", "warm pad", "--embedding-scale", "2.0"])
+    assert len(sorted(out.glob("*.wav"))) == 2
+
+    # Misuse is loud: --text on a run without a text encoder...
+    uncond = tmp / "plain.json"
+    uncond.write_text(json.dumps(dict(
+        in_channels=1, channels=[8, 16], factors=[1, 2], items=[1, 1],
+        modulation_features=32)))
+    run2 = tmp / "run_plain"
+    main(["train", "--data", str(data), "--preset", str(uncond),
+          "--out", str(run2), "--steps", "1", "--batch", "2",
+          "--crop", "512", "--log-every", "1", "--checkpoint-every", "9"])
+    with pytest.raises(SystemExit, match="text-conditional run"):
+        main(["sample", "--model", str(run2 / "model"), "--out", str(out),
+              "--num", "1", "--steps", "2", "--length", "512",
+              "--text", "anything"])
+    # ...a text-conditional config trained without captions/embeddings...
+    with pytest.raises(SystemExit, match="caption-dir"):
+        main(["train", "--data", str(data), "--preset", str(cfg),
+              "--out", str(tmp / "x"), "--steps", "1", "--batch", "2",
+              "--crop", "512"])
+    # ...and a caption dir with holes names the files.
+    (caps / "2.txt").unlink()
+    with pytest.raises(SystemExit, match="missing .txt for: 2"):
+        main(["train", "--data", str(data), "--preset", str(cfg),
+              "--out", str(tmp / "y"), "--steps", "1", "--batch", "2",
+              "--crop", "512", "--caption-dir", str(caps),
+              "--text-encoder", "stub"])
+
+
 def test_cli_ar_task(tiny_setup):
     """Autoregressive task: --task ar trains on the crop window and
     `sample --chunks` generates past it."""
