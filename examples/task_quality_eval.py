@@ -63,8 +63,9 @@ def _build_from_run(run):
     cfg.pop("_sample_rate", None)
     cfg.pop("_init_from", None)
     upf = cfg.pop("_upsample_factor", None)
-    model = _build_model(cfg, "v", task, upf)
+    # Read BEFORE _build_model: it pops "_length" out of cfg (AR task).
     init_len = cfg.get("_length") or CROP
+    model = _build_model(cfg, "v", task, upf)
     model.initialize(jnp.zeros((1, cfg.get("in_channels", 2), init_len)))
     model.load(f"{run}/model")
     return model
