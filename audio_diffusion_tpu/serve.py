@@ -237,6 +237,18 @@ class GenerationService:
         return self.submit(primary, num_steps=num_steps,
                            **cond).result()
 
+    def update_params(self, params: Optional[Dict]) -> None:
+        """Hot-swap the parameter snapshot used by SUBSEQUENT batches —
+        the live-refresh path for serving while training continues
+        (periodically push ``trainer.ema_params``) or for swapping in a
+        quantized tree. The swap is one atomic reference assignment:
+        in-flight batches finish on the old snapshot, no request fails,
+        and nothing recompiles (params are traced inputs of the cached
+        per-signature program, so only a dtype/structure change — e.g.
+        float -> int8 — triggers a one-time recompile). Pass ``None`` to
+        serve the model's live ``model.params`` again."""
+        self._params = params
+
     @property
     def stats(self) -> Dict[str, float]:
         with self._stats_lock:
