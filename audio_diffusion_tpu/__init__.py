@@ -39,6 +39,7 @@ from .models import (
     MelEncoder1d,
     TanhBottleneck,
 )
+from .embed import CorpusEmbedder, frechet_embedding_distance
 from .losses import MultiResolutionSTFTLoss, multi_resolution_stft_loss
 from .ops import (AppendChannelsPlugin, LTPlugin, Net, QTensor, UNetV0,
                   XUNet, dequantize_params, quantize_params,
@@ -56,6 +57,8 @@ __all__ = [
     "quantize_params",
     "dequantize_params",
     "unpack_int4_leaves",
+    "CorpusEmbedder",
+    "frechet_embedding_distance",
     "ProgressiveDistiller",
     "export_sampler",
     "load_sampler",

@@ -82,16 +82,32 @@ def frechet_band_distance(ref_samples, gen_samples,
     Needs len(set) comparable to the number of bands for a stable
     covariance; shrinkage (+1e-6 I) keeps small sets finite.
     """
-    def stats(samples):
-        profs = np.stack([band_profile(s, sample_rate) for s in samples])
-        assert profs.shape[0] >= 2, "need >= 2 items per set"
-        mu = profs.mean(0)
-        cov = np.cov(profs, rowvar=False) + 1e-6 * np.eye(profs.shape[1])
-        return mu, cov
+    profs_a = np.stack([band_profile(s, sample_rate)
+                        for s in np.asarray(ref_samples, np.float32)])
+    profs_b = np.stack([band_profile(s, sample_rate)
+                        for s in np.asarray(gen_samples, np.float32)])
+    assert profs_a.shape[0] >= 2 and profs_b.shape[0] >= 2, (
+        "need >= 2 items per set")
+    return _frechet_gaussian(profs_a, profs_b, ridge=1e-6)
 
-    mu_a, ca = stats(np.asarray(ref_samples, np.float32))
-    mu_b, cb = stats(np.asarray(gen_samples, np.float32))
+
+def _frechet_gaussian(feats_a: np.ndarray, feats_b: np.ndarray, *,
+                      ridge: float = 1e-6,
+                      shrinkage: float = 0.0) -> float:
+    """Fréchet distance between Gaussians fit to two [n, d] feature sets.
+
+    Shared core of :func:`frechet_band_distance` (band-profile features,
+    absolute ``ridge`` — numerics unchanged since round 3) and
+    :func:`audio_diffusion_tpu.embed.frechet_embedding_distance` (learned
+    features, relative ``shrinkage`` of the mean variance)."""
+    mu_a, mu_b = feats_a.mean(0), feats_b.mean(0)
     assert mu_a.shape == mu_b.shape, (mu_a.shape, mu_b.shape)
+    ca = np.cov(feats_a, rowvar=False)
+    cb = np.cov(feats_b, rowvar=False)
+    load = ridge + shrinkage * 0.5 * (np.trace(ca) + np.trace(cb)) \
+        / mu_a.shape[0]
+    ca = ca + load * np.eye(mu_a.shape[0])
+    cb = cb + load * np.eye(mu_a.shape[0])
     # (Ca Cb)^{1/2} via eigendecomposition of the symmetrized product:
     # sqrtm(Ca) Cb sqrtm(Ca) is PSD with the same eigenvalues as Ca Cb.
     wa, va = np.linalg.eigh(ca)
