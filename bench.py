@@ -172,8 +172,8 @@ def main():
     print(f"diag: int8 weight-quantized sampling "
           f"{1000*q_elapsed/(reps*NUM_STEPS):.2f} ms/step "
           f"({NUM_STEPS*reps/q_elapsed:.1f} steps/s; rel-RMS error vs bf16 "
-          "0.74% on trained flagship weights, LSD 0.18 dB — "
-          "PERFORMANCE.md r4)", file=sys.stderr)
+          "0.74% on trained flagship weights, LSD 0.18 dB — r4-measured "
+          "citation, not re-measured in this run)", file=sys.stderr)
 
     # Secondary diagnostic: encoder-reuse sampling (Faster Diffusion,
     # arXiv:2312.09608; VSampler encoder_reuse=2) — an approximate
@@ -210,8 +210,8 @@ def main():
     print(f"diag: encoder-reuse k=2 sampling "
           f"{1000*er_elapsed/(reps*NUM_STEPS):.2f} ms/step "
           f"({NUM_STEPS*reps/er_elapsed:.1f} steps/s; approximate sampler, "
-          "k=2 set-level quality neutral on two corpora — "
-          "PERFORMANCE.md r4)", file=sys.stderr)
+          "k=2 set-level quality neutral on two corpora — r4-measured "
+          "citation, not re-measured in this run)", file=sys.stderr)
 
     # Secondary diagnostic: the distilled flagship (64->8 progressive
     # distillation, PERFORMANCE.md r4) when its params are on disk — the
@@ -257,7 +257,8 @@ def main():
             print(f"diag: distilled-8-step flagship sample "
                   f"{lat8*1000:.1f} ms/sample "
                   f"({elapsed/reps/lat8:.1f}x the 50-step teacher; quality "
-                  "between teacher 16 and 32 steps — PERFORMANCE.md r4)",
+                  "between teacher 16 and 32 steps — r4-measured citation, "
+                  "not re-measured in this run)",
                   file=sys.stderr)
         except Exception as e:  # diag only — never fail the bench
             print(f"diag: distilled model present but unmeasurable: {e}",
