@@ -130,7 +130,15 @@ def main():
             net_t=UNetV0, mel_n_fft=512, mel_channels=16,
             mel_sample_rate=SR, mel_normalize_log=True, **TINY_NET))
         if model is not None:
-            lsds, bds, mel_errs = [], [], []
+            from audio_diffusion_tpu.dsp.mel import griffin_lim
+
+            ms = model.to_spectrogram
+            # Zero-parameter baseline from the SAME mel: pinv the
+            # filterbank back to a linear-frequency magnitude, then 32
+            # Griffin-Lim phase iterations — the classical vocoder any
+            # diffusion vocoder must beat to justify itself.
+            pinv_fb = np.linalg.pinv(np.asarray(ms._fbanks))  # [mel, freq]
+            lsds, bds, mel_errs, gl_lsds, gl_bds = [], [], [], [], []
             for i, x in enumerate(tests):
                 spec = model.to_spectrogram(jnp.asarray(x)[None])
                 y = np.asarray(model.sample(
@@ -145,13 +153,28 @@ def main():
                 mel_errs.append(float(np.sqrt(np.mean(
                     (mel_y[..., :spec.shape[-1]]
                      - np.asarray(spec)[..., :mel_y.shape[-1]]) ** 2))))
-            # Scale anchor: LSD between two DIFFERENT test files.
+                mel_lin = np.asarray(spec[0], np.float32)
+                if ms.normalize_log:
+                    mel_lin = np.exp(mel_lin)
+                mag = np.einsum("cml,mf->cfl", mel_lin,
+                                pinv_fb).clip(min=0.0)
+                gl = np.asarray(griffin_lim(
+                    jnp.asarray(mag), ms.n_fft, ms.hop_length,
+                    ms.win_length, n_iter=32,
+                    length=n + 2 * ms.padding), np.float32)
+                gl = gl[..., ms.padding:ms.padding + n]
+                gl_lsds.append(log_spectral_distance(gl, x[..., :n]))
+                gl_bds.append(band_distance(band_profile(gl, SR),
+                                            band_profile(x[..., :n], SR)))
+            # Scale anchors: a DIFFERENT test file, and Griffin-Lim.
             anchor = log_spectral_distance(tests[0][..., :CROP],
                                            tests[1][..., :CROP])
             results["vocoder"] = {
                 "lsd_db": round(float(np.mean(lsds)), 2),
+                "lsd_griffin_lim_anchor": round(float(np.mean(gl_lsds)), 2),
                 "lsd_crossfile_anchor": round(float(anchor), 2),
                 "band_dist": round(float(np.mean(bds)), 3),
+                "band_dist_griffin_lim": round(float(np.mean(gl_bds)), 3),
                 "mel_rmse": round(float(np.mean(mel_errs)), 4)}
             print(f"vocoder: {results['vocoder']}", flush=True)
 

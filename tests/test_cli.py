@@ -105,10 +105,12 @@ def test_cli_unknown_preset_errors(tmp_path):
     with pytest.raises(SystemExit, match="unknown preset"):
         main(["sample", "--model", "x", "--preset", "NOPE",
               "--out", str(tmp_path)])
-    # Python-API-only presets are rejected with guidance, not a TypeError.
-    with pytest.raises(SystemExit, match="Python API"):
-        main(["sample", "--model", "x", "--preset", "TEXT_CONDITIONAL_48K",
-              "--out", str(tmp_path)])
+    # TEXT_CONDITIONAL became CLI-drivable in round 5 (--caption-dir /
+    # sample --text); training it still demands a caption source.
+    from audio_diffusion_tpu.cli import _resolve_config
+
+    cfg, task = _resolve_config("TEXT_CONDITIONAL_48K")
+    assert task == "unconditional" and cfg["use_text_conditioning"]
 
 
 def test_cli_named_preset_resolves():
