@@ -118,37 +118,43 @@ class CorpusEmbedder:
         """
         import optax
 
-        files = jnp.asarray(np.asarray(files, np.float32))
+        # The corpus rides as a jit ARGUMENT placed on device once — a
+        # closure would bake it into the HLO as a multi-hundred-MB
+        # constant, which remote compile services re-serialize per
+        # program (measured: stalls the axon tunnel for tens of minutes).
+        files = jax.device_put(jnp.asarray(np.asarray(files, np.float32)))
         n_files = files.shape[0]
         assert files.shape[-1] >= self.crop, (files.shape, self.crop)
         net = self._build(n_files)
         params = net.init(key, self._mel_mono(files[:1, :, :self.crop]))
         opt = optax.adamw(lr)
         opt_state = opt.init(params)
+        crop = self.crop
+        mel_mono = self._mel_mono
 
-        def loss_fn(p, k):
+        def loss_fn(p, fs, k):
             kf, kp = jax.random.split(k)
             idx = jax.random.randint(kf, (batch,), 0, n_files)
             pos = jax.random.randint(
-                kp, (batch,), 0, files.shape[-1] - self.crop + 1)
+                kp, (batch,), 0, fs.shape[-1] - crop + 1)
             crops = jax.vmap(
                 lambda i, s: jax.lax.dynamic_slice_in_dim(
-                    files[i], s, self.crop, axis=-1))(idx, pos)
-            _, logits = net.apply(p, self._mel_mono(crops))
+                    fs[i], s, crop, axis=-1))(idx, pos)
+            _, logits = net.apply(p, mel_mono(crops))
             return optax.softmax_cross_entropy_with_integer_labels(
                 logits, idx).mean(), (logits, idx)
 
         @jax.jit
-        def step(p, o, k):
+        def step(p, o, fs, k, i):
             (l, (logits, idx)), g = jax.value_and_grad(
-                loss_fn, has_aux=True)(p, k)
+                loss_fn, has_aux=True)(p, fs, jax.random.fold_in(k, i))
             up, o = opt.update(g, o, p)
             acc = (logits.argmax(-1) == idx).mean()
             return optax.apply_updates(p, up), o, l, acc
 
         for i in range(steps):
-            key, k = jax.random.split(key)
-            params, opt_state, loss, acc = step(params, opt_state, k)
+            params, opt_state, loss, acc = step(params, opt_state, files,
+                                                key, i)
             if log_every and (i + 1) % log_every == 0:
                 print(f"embedder step {i + 1}: loss={float(loss):.3f} "
                       f"acc={float(acc):.2f}", flush=True)
