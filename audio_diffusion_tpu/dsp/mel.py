@@ -98,8 +98,13 @@ def griffin_lim(magnitude: Array, n_fft: int, hop_length: int,
 
     mag = magnitude.astype(jnp.float32)
 
+    def _unit_phasor(angles):
+        # NOT jnp.exp(1j*angles): complex exp is UNIMPLEMENTED on the TPU
+        # backend; cos/sin + lax.complex lowers everywhere.
+        return jax.lax.complex(jnp.cos(angles), jnp.sin(angles))
+
     def body(_, angles):
-        x = istft(mag * jnp.exp(1j * angles), n_fft, hop_length,
+        x = istft(mag * _unit_phasor(angles), n_fft, hop_length,
                   win_length, length=length)
         rebuilt = stft(x, n_fft, hop_length, win_length)
         # stft of a len-`length` signal can lose a trailing partial frame;
@@ -111,7 +116,7 @@ def griffin_lim(magnitude: Array, n_fft: int, hop_length: int,
 
     angles = jnp.zeros(mag.shape, jnp.float32)
     angles = jax.lax.fori_loop(0, n_iter, body, angles)
-    return istft(mag * jnp.exp(1j * angles), n_fft, hop_length, win_length,
+    return istft(mag * _unit_phasor(angles), n_fft, hop_length, win_length,
                  length=length)
 
 
