@@ -124,147 +124,172 @@ def main():
                     modulation_features=32)
 
     if "vocoder" in tasks:
-        from audio_diffusion_tpu import DiffusionVocoder, UNetV0
+        try:
+            from audio_diffusion_tpu import DiffusionVocoder, UNetV0
 
-        model = model_for("vocoder", lambda: DiffusionVocoder(
-            net_t=UNetV0, mel_n_fft=512, mel_channels=16,
-            mel_sample_rate=SR, mel_normalize_log=True, **TINY_NET))
-        if model is not None:
-            from audio_diffusion_tpu.dsp.mel import griffin_lim
+            model = model_for("vocoder", lambda: DiffusionVocoder(
+                net_t=UNetV0, mel_n_fft=512, mel_channels=16,
+                mel_sample_rate=SR, mel_normalize_log=True, **TINY_NET))
+            if model is not None:
+                from audio_diffusion_tpu.dsp.mel import griffin_lim
 
-            ms = model.to_spectrogram
-            # Zero-parameter baseline from the SAME mel: pinv the
-            # filterbank back to a linear-frequency magnitude, then 32
-            # Griffin-Lim phase iterations — the classical vocoder any
-            # diffusion vocoder must beat to justify itself.
-            pinv_fb = np.linalg.pinv(np.asarray(ms._fbanks))  # [mel, freq]
-            lsds, bds, mel_errs, gl_lsds, gl_bds = [], [], [], [], []
-            for i, x in enumerate(tests):
-                spec = model.to_spectrogram(jnp.asarray(x)[None])
-                y = np.asarray(model.sample(
-                    spec, num_steps=STEPS,
-                    key=jax.random.fold_in(key, i)), np.float32)[0]
-                n = min(y.shape[-1], x.shape[-1])
-                lsds.append(log_spectral_distance(y[..., :n], x[..., :n]))
-                bds.append(band_distance(band_profile(y, SR),
-                                         band_profile(x, SR)))
-                mel_y = np.asarray(model.to_spectrogram(
-                    jnp.asarray(y)[None]))
-                mel_errs.append(float(np.sqrt(np.mean(
-                    (mel_y[..., :spec.shape[-1]]
-                     - np.asarray(spec)[..., :mel_y.shape[-1]]) ** 2))))
-                mel_lin = np.asarray(spec[0], np.float32)
-                if ms.normalize_log:
-                    mel_lin = np.exp(mel_lin)
-                mag = np.einsum("cml,mf->cfl", mel_lin,
-                                pinv_fb).clip(min=0.0)
-                gl = np.asarray(griffin_lim(
-                    jnp.asarray(mag), ms.n_fft, ms.hop_length,
-                    ms.win_length, n_iter=32,
-                    length=n + 2 * ms.padding), np.float32)
-                gl = gl[..., ms.padding:ms.padding + n]
-                gl_lsds.append(log_spectral_distance(gl, x[..., :n]))
-                gl_bds.append(band_distance(band_profile(gl, SR),
-                                            band_profile(x[..., :n], SR)))
-            # Scale anchors: a DIFFERENT test file, and Griffin-Lim.
-            anchor = log_spectral_distance(tests[0][..., :CROP],
-                                           tests[1][..., :CROP])
-            results["vocoder"] = {
-                "lsd_db": round(float(np.mean(lsds)), 2),
-                "lsd_griffin_lim_anchor": round(float(np.mean(gl_lsds)), 2),
-                "lsd_crossfile_anchor": round(float(anchor), 2),
-                "band_dist": round(float(np.mean(bds)), 3),
-                "band_dist_griffin_lim": round(float(np.mean(gl_bds)), 3),
-                "mel_rmse": round(float(np.mean(mel_errs)), 4)}
-            print(f"vocoder: {results['vocoder']}", flush=True)
+                ms = model.to_spectrogram
+                # Zero-parameter baseline from the SAME mel: pinv the
+                # filterbank back to a linear-frequency magnitude, then 32
+                # Griffin-Lim phase iterations — the classical vocoder any
+                # diffusion vocoder must beat to justify itself.
+                pinv_fb = np.linalg.pinv(np.asarray(ms._fbanks))  # [mel, freq]
+                lsds, bds, mel_errs, gl_lsds, gl_bds = [], [], [], [], []
+                for i, x in enumerate(tests):
+                    spec = model.to_spectrogram(jnp.asarray(x)[None])
+                    y = np.asarray(model.sample(
+                        spec, num_steps=STEPS,
+                        key=jax.random.fold_in(key, i)), np.float32)[0]
+                    n = min(y.shape[-1], x.shape[-1])
+                    lsds.append(log_spectral_distance(y[..., :n], x[..., :n]))
+                    bds.append(band_distance(band_profile(y, SR),
+                                             band_profile(x, SR)))
+                    mel_y = np.asarray(model.to_spectrogram(
+                        jnp.asarray(y)[None]))
+                    mel_errs.append(float(np.sqrt(np.mean(
+                        (mel_y[..., :spec.shape[-1]]
+                         - np.asarray(spec)[..., :mel_y.shape[-1]]) ** 2))))
+                    try:  # anchor only — never fail the model's own row
+                        mel_lin = np.asarray(spec[0], np.float32)
+                        if ms.normalize_log:
+                            mel_lin = np.exp(mel_lin)
+                        mag = np.einsum("cml,mf->cfl", mel_lin,
+                                        pinv_fb).clip(min=0.0)
+                        gl = np.asarray(griffin_lim(
+                            jnp.asarray(mag), ms.n_fft, ms.hop_length,
+                            ms.win_length, n_iter=32,
+                            length=n + 2 * ms.padding), np.float32)
+                        gl = gl[..., ms.padding:ms.padding + n]
+                        gl_lsds.append(log_spectral_distance(gl, x[..., :n]))
+                        gl_bds.append(band_distance(
+                            band_profile(gl, SR),
+                            band_profile(x[..., :n], SR)))
+                    except Exception as e:
+                        if not gl_lsds:
+                            print(f"vocoder GL anchor unavailable: {e}",
+                                  flush=True)
+                # Scale anchors: a DIFFERENT test file, and Griffin-Lim.
+                anchor = log_spectral_distance(tests[0][..., :CROP],
+                                               tests[1][..., :CROP])
+                results["vocoder"] = {
+                    "lsd_db": round(float(np.mean(lsds)), 2),
+                    "lsd_crossfile_anchor": round(float(anchor), 2),
+                    "band_dist": round(float(np.mean(bds)), 3),
+                    "mel_rmse": round(float(np.mean(mel_errs)), 4)}
+                if gl_lsds:
+                    results["vocoder"]["lsd_griffin_lim_anchor"] = round(
+                        float(np.mean(gl_lsds)), 2)
+                    results["vocoder"]["band_dist_griffin_lim"] = round(
+                        float(np.mean(gl_bds)), 3)
+                print(f"vocoder: {results['vocoder']}", flush=True)
+        except Exception as e:  # one task must not kill the rest
+            print(f"vocoder: FAILED {type(e).__name__}: {e}", flush=True)
+            results["vocoder"] = {"error": f"{type(e).__name__}: {e}"}
 
     if "upsampler" in tasks:
-        from audio_diffusion_tpu import DiffusionUpsampler, UNetV0
-        from audio_diffusion_tpu.dsp import downsample, upsample
+        try:
+            from audio_diffusion_tpu import DiffusionUpsampler, UNetV0
+            from audio_diffusion_tpu.dsp import downsample, upsample
 
-        factor = 4 if tiny else 16
-        model = model_for("upsampler", lambda: DiffusionUpsampler(
-            net_t=UNetV0, in_channels=2, upsample_factor=4, **TINY_NET))
-        if model is not None:
-            bds_model, bds_naive, lsds = [], [], []
-            for i, x in enumerate(tests):
-                low = np.asarray(downsample(jnp.asarray(x)[None], factor))
-                y = np.asarray(model.sample(
-                    jnp.asarray(low), num_steps=STEPS,
-                    key=jax.random.fold_in(key, 100 + i)), np.float32)[0]
-                naive = np.asarray(upsample(jnp.asarray(low), factor),
-                                   np.float32)[0]
-                n = min(y.shape[-1], x.shape[-1], naive.shape[-1])
-                xp = band_profile(x[..., :n], SR)
-                bds_model.append(band_distance(
-                    band_profile(y[..., :n], SR), xp))
-                bds_naive.append(band_distance(
-                    band_profile(naive[..., :n], SR), xp))
-                lsds.append(log_spectral_distance(y[..., :n], x[..., :n]))
-            results["upsampler"] = {
-                "factor": factor,
-                "band_dist_model": round(float(np.mean(bds_model)), 3),
-                "band_dist_sinc_input": round(float(np.mean(bds_naive)), 3),
-                "lsd_db": round(float(np.mean(lsds)), 2)}
-            print(f"upsampler: {results['upsampler']}", flush=True)
+            factor = 4 if tiny else 16
+            model = model_for("upsampler", lambda: DiffusionUpsampler(
+                net_t=UNetV0, in_channels=2, upsample_factor=4, **TINY_NET))
+            if model is not None:
+                bds_model, bds_naive, lsds = [], [], []
+                for i, x in enumerate(tests):
+                    low = np.asarray(downsample(jnp.asarray(x)[None], factor))
+                    y = np.asarray(model.sample(
+                        jnp.asarray(low), num_steps=STEPS,
+                        key=jax.random.fold_in(key, 100 + i)), np.float32)[0]
+                    naive = np.asarray(upsample(jnp.asarray(low), factor),
+                                       np.float32)[0]
+                    n = min(y.shape[-1], x.shape[-1], naive.shape[-1])
+                    xp = band_profile(x[..., :n], SR)
+                    bds_model.append(band_distance(
+                        band_profile(y[..., :n], SR), xp))
+                    bds_naive.append(band_distance(
+                        band_profile(naive[..., :n], SR), xp))
+                    lsds.append(log_spectral_distance(y[..., :n], x[..., :n]))
+                results["upsampler"] = {
+                    "factor": factor,
+                    "band_dist_model": round(float(np.mean(bds_model)), 3),
+                    "band_dist_sinc_input": round(float(np.mean(bds_naive)), 3),
+                    "lsd_db": round(float(np.mean(lsds)), 2)}
+                print(f"upsampler: {results['upsampler']}", flush=True)
+        except Exception as e:  # one task must not kill the rest
+            print(f"upsampler: FAILED {type(e).__name__}: {e}", flush=True)
+            results["upsampler"] = {"error": f"{type(e).__name__}: {e}"}
 
     if "autoencoder" in tasks:
-        from audio_diffusion_tpu import DiffusionAE, UNetV0
-        from audio_diffusion_tpu.models import MelEncoder1d
+        try:
+            from audio_diffusion_tpu import DiffusionAE, UNetV0
+            from audio_diffusion_tpu.models import MelEncoder1d
 
-        # Encoder factor (mel hop 16 x conv 2 = 32) must equal the net's
-        # cumulative factor at inject_depth: 1*8*4 = 32 at depth 2.
-        model = model_for("autoencoder", lambda: DiffusionAE(
-            net_t=UNetV0, in_channels=2, encoder=MelEncoder1d(
-                in_channels=2, channels=16, factors=[2], num_blocks=[1],
-                out_channels=8, mel_channels=16, mel_n_fft=64,
-                mel_sample_rate=SR), inject_depth=2,
-            channels=[8, 16, 16], factors=[1, 8, 4], items=[1, 1, 1],
-            modulation_features=32))
-        if model is not None:
-            lsds, bds = [], []
-            for i, x in enumerate(tests):
-                latent = model.encode(jnp.asarray(x)[None])
-                y = np.asarray(model.decode(
-                    latent, num_steps=STEPS,
-                    key=jax.random.fold_in(key, 200 + i)), np.float32)[0]
-                n = min(y.shape[-1], x.shape[-1])
-                lsds.append(log_spectral_distance(y[..., :n], x[..., :n]))
-                bds.append(band_distance(band_profile(y[..., :n], SR),
-                                         band_profile(x[..., :n], SR)))
-            results["autoencoder"] = {
-                "lsd_db": round(float(np.mean(lsds)), 2),
-                "band_dist": round(float(np.mean(bds)), 3),
-                "latent_shape": list(np.asarray(latent).shape)}
-            print(f"autoencoder: {results['autoencoder']}", flush=True)
+            # Encoder factor (mel hop 16 x conv 2 = 32) must equal the net's
+            # cumulative factor at inject_depth: 1*8*4 = 32 at depth 2.
+            model = model_for("autoencoder", lambda: DiffusionAE(
+                net_t=UNetV0, in_channels=2, encoder=MelEncoder1d(
+                    in_channels=2, channels=16, factors=[2], num_blocks=[1],
+                    out_channels=8, mel_channels=16, mel_n_fft=64,
+                    mel_sample_rate=SR), inject_depth=2,
+                channels=[8, 16, 16], factors=[1, 8, 4], items=[1, 1, 1],
+                modulation_features=32))
+            if model is not None:
+                lsds, bds = [], []
+                for i, x in enumerate(tests):
+                    latent = model.encode(jnp.asarray(x)[None])
+                    y = np.asarray(model.decode(
+                        latent, num_steps=STEPS,
+                        key=jax.random.fold_in(key, 200 + i)), np.float32)[0]
+                    n = min(y.shape[-1], x.shape[-1])
+                    lsds.append(log_spectral_distance(y[..., :n], x[..., :n]))
+                    bds.append(band_distance(band_profile(y[..., :n], SR),
+                                             band_profile(x[..., :n], SR)))
+                results["autoencoder"] = {
+                    "lsd_db": round(float(np.mean(lsds)), 2),
+                    "band_dist": round(float(np.mean(bds)), 3),
+                    "latent_shape": list(np.asarray(latent).shape)}
+                print(f"autoencoder: {results['autoencoder']}", flush=True)
+        except Exception as e:  # one task must not kill the rest
+            print(f"autoencoder: FAILED {type(e).__name__}: {e}", flush=True)
+            results["autoencoder"] = {"error": f"{type(e).__name__}: {e}"}
 
     if "ar" in tasks:
-        from audio_diffusion_tpu.models import DiffusionAR
-        from audio_diffusion_tpu import UNetV0
+        try:
+            from audio_diffusion_tpu.models import DiffusionAR
+            from audio_diffusion_tpu import UNetV0
 
-        chunks = 4 if tiny else 12
-        model = model_for("ar", lambda: DiffusionAR(
-            net_t=UNetV0, in_channels=2, length=1024, num_splits=4,
-            **TINY_NET), init_shape=(1, 2, 1024))
-        if model is not None:
-            y = np.asarray(model.sample(
-                num_items=2, num_chunks=chunks, num_steps=STEPS,
-                key=jax.random.fold_in(key, 300)), np.float32)
-            clen = y.shape[-1] // chunks
-            # Corpus profile at CHUNK length so the band grids match.
-            prof_c = band_profile(train_refs[..., :clen], SR)
-            drift = [round(float(np.mean([band_distance(
-                band_profile(item[..., j * clen:(j + 1) * clen], SR),
-                prof_c) for item in y])), 3)
-                for j in range(chunks)]
-            rng = np.random.default_rng(1)
-            seg = min(2048, clen // 2)
-            zs = [_seam_z(item, [j * clen for j in range(1, chunks)],
-                          seg, rng) for item in y]
-            results["ar"] = {"chunks": chunks, "chunk_len": clen,
-                             "band_dist_per_chunk": drift,
-                             "seam_z_mean": round(float(np.mean(zs)), 2)}
-            print(f"ar: {results['ar']}", flush=True)
+            chunks = 4 if tiny else 12
+            model = model_for("ar", lambda: DiffusionAR(
+                net_t=UNetV0, in_channels=2, length=1024, num_splits=4,
+                **TINY_NET), init_shape=(1, 2, 1024))
+            if model is not None:
+                y = np.asarray(model.sample(
+                    num_items=2, num_chunks=chunks, num_steps=STEPS,
+                    key=jax.random.fold_in(key, 300)), np.float32)
+                clen = y.shape[-1] // chunks
+                # Corpus profile at CHUNK length so the band grids match.
+                prof_c = band_profile(train_refs[..., :clen], SR)
+                drift = [round(float(np.mean([band_distance(
+                    band_profile(item[..., j * clen:(j + 1) * clen], SR),
+                    prof_c) for item in y])), 3)
+                    for j in range(chunks)]
+                rng = np.random.default_rng(1)
+                seg = min(2048, clen // 2)
+                zs = [_seam_z(item, [j * clen for j in range(1, chunks)],
+                              seg, rng) for item in y]
+                results["ar"] = {"chunks": chunks, "chunk_len": clen,
+                                 "band_dist_per_chunk": drift,
+                                 "seam_z_mean": round(float(np.mean(zs)), 2)}
+                print(f"ar: {results['ar']}", flush=True)
+        except Exception as e:  # one task must not kill the rest
+            print(f"ar: FAILED {type(e).__name__}: {e}", flush=True)
+            results["ar"] = {"error": f"{type(e).__name__}: {e}"}
 
     print(json.dumps(results), flush=True)
     print("TQ DONE", flush=True)
