@@ -24,12 +24,13 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 ROOT = Path(__file__).resolve().parent.parent
-RUN = ROOT / "runs/flagship_r3"
-MODEL_DIR = RUN / "model_distilled8"
+RUN = Path(os.environ.get("SS_RUN", ROOT / "runs/flagship_r3"))
+MODEL_DIR = Path(os.environ.get("SS_MODEL", RUN / "model_distilled8"))
 N_REQ = int(os.environ.get("SS_REQUESTS", 48))
 N_THREADS = int(os.environ.get("SS_THREADS", 16))
 STEPS = int(os.environ.get("SS_STEPS", 8))
-LENGTHS = (2 ** 18, 2 ** 17)
+LENGTHS = tuple(int(x) for x in os.environ.get(
+    "SS_LENGTHS", f"{2 ** 18},{2 ** 17}").split(","))
 
 if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
     import jax
@@ -49,7 +50,11 @@ def main():
     for k in ("_task", "_sample_rate", "_init_from"):
         cfg.pop(k, None)
     model = _build_model(dict(cfg), "v", "unconditional")
-    model.initialize(jnp.zeros((1, 2, 64)))
+    # Init length must be divisible by the net's total downsampling and
+    # leave a few bottleneck samples for the attention levels.
+    import numpy as np
+    init_len = 4 * int(np.prod(cfg.get("factors", [1])))
+    model.initialize(jnp.zeros((1, cfg.get("in_channels", 2), init_len)))
     model.load(MODEL_DIR)
 
     svc = GenerationService(model, num_steps=STEPS, batch_size=8,
