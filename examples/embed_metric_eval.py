@@ -130,11 +130,15 @@ def main():
         return frechet_embedding_distance(emb.embed(params_e, items_ref),
                                           emb.embed(params_e, items_gen))
 
+    ref_name = os.environ.get("EM_REF", "music")
+    if ref_name not in corpora:
+        ref_name = next(iter(corpora))
     results = {"seeds": SEEDS, "steps": STEPS, "crop": CROP,
+               "ref_corpus": ref_name,
                "embedder_classes": int(union.shape[0])}
 
-    refs = corpora["music"][:, :, :CROP]
-    refs_b = corpora["music"][:, :, CROP:2 * CROP]
+    refs = corpora[ref_name][:, :, :CROP]
+    refs_b = corpora[ref_name][:, :, CROP:2 * CROP]
     ref_feats = emb.embed(params_e, refs)
 
     # ---- 2. validation orderings ---------------------------------------
